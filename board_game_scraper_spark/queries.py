@@ -1,0 +1,649 @@
+"""Oracle-checked query surface (driver contract in __spark_entry__.py).
+
+Each ``q_*`` function takes (spark, sf_dir) and returns a DataFrame; the
+matching entry in ``ORACLES`` is ANSI SQL DuckDB runs over the same
+parquet tables.  Every query exercises one operator family from
+SURVEY.md §2 (reference file:line in each docstring); together they are
+the engine's regression surface.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the SQL oracle (driver hashes values under sorted
+column names).
+
+Float discipline: any aggregate over doubles is either cast to DECIMAL
+before summing (exact in both engines) or rounded to a tolerance-safe
+number of decimals, so cross-engine partial-sum ordering can't flip the
+hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Merge / dedup family (A1, merge.py:62-67,202-208)
+# ---------------------------------------------------------------------------
+
+def q_merge_latest_wins(spark, sf_dir):
+    """Latest-wins dedup per user: the reference's core merge operator
+    (merge.py:202-208 reduceByKey argmax; ties → larger event_id, mirroring
+    the later-file-wins tie-break merge.py:62-67)."""
+    ev = _t(spark, sf_dir, "events")
+    payload = F.struct(*[F.col(c) for c in ev.columns])
+    ordering = F.struct(F.col("ts"), F.col("event_id"))
+    out = ev.groupBy("user_id").agg(F.max_by(payload, ordering).alias("_r"))
+    return out.select(
+        F.col("user_id").alias("user_id"),
+        F.col("_r.event_id").alias("event_id"),
+        F.col("_r.ts").alias("ts"),
+        F.col("_r.event_type").alias("event_type"),
+        F.col("_r.value").alias("value"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact content dedup by hash (training-pipeline op; groupBy md5)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frontier scheduling family (F1-F3, F8, F9, F11)
+# ---------------------------------------------------------------------------
+
+def q_topk_per_host(spark, sf_dir):
+    """Per-host politeness top-K (F1/F2: spiders/bgg.py:284-291 priorities +
+    settings.py:153-155 budgets), modeled as top-3 events per event_type by
+    (value desc, event_id asc)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("event_type", "event_id", "value", "rk")
+    )
+
+
+def q_batchify(spark, sf_dir):
+    """Request batching (F8, bgg.py:251-294: ≤10 ids per API URL,
+    comma-joined): bucket ordered ids per group into batches of 10."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    rn = F.row_number().over(w)
+    batched = ev.select(
+        "event_type",
+        "event_id",
+        F.floor((rn - 1) / 10).cast("int").alias("batch"),
+    )
+    return batched.groupBy("event_type", "batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.concat_ws(",", F.array_sort(F.collect_list("event_id"))).alias("ids_csv"),
+    )
+
+
+def q_retry_backoff(spark, sf_dir):
+    """Retry with exponential backoff (F9, settings.py:247-253: delayed
+    retry, backoff capped): failed fetches get not_before = ts + delay*2^attempt."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    attempt = F.pmod(F.col("event_id"), F.lit(5)).cast("int")
+    backoff = F.least(
+        F.pow(F.lit(2.0), attempt) * 5, F.lit(100.0)
+    ).cast("long")
+    return ev.select(
+        "event_id",
+        attempt.alias("attempt"),
+        backoff.alias("backoff_sec"),
+        (F.unix_timestamp("ts") + backoff).alias("not_before_epoch"),
+    )
+
+
+def q_rescrape_window(spark, sf_dir):
+    """Rescrape suppression (F11, extensions.py:137-145: drop re-crawl
+    within window): keep an event only if >= 600s after the user's
+    previous event."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        ev.withColumn("prev_ts", prev)
+        .where(
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") >= 600)
+        )
+        .select("event_id", "user_id", "ts")
+    )
+
+
+def q_anti_join_seen(spark, sf_dir):
+    """Seen-set anti-join (J1/F7, bgg.py:256-261 _ids_seen filter): orders
+    whose customer is NOT in the 'seen' set (negative balance)."""
+    orders = _t(spark, sf_dir, "orders")
+    seen = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") < 0)
+    return orders.join(
+        F.broadcast(seen.select(F.col("c_custkey").alias("o_custkey"))),
+        on="o_custkey",
+        how="left_anti",
+    ).select("o_orderkey", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization / extraction family (C5, C8, E8, E12, E13, E14)
+# ---------------------------------------------------------------------------
+
+def q_extract_bgg_id(spark, sf_dir):
+    """BGG id normalization (C5, utils.py:280-288 regex ^/(board)?game/(\\d+))
+    over synthesized paths."""
+    orders = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("/boardgame/"), F.col("o_orderkey").cast("string"), F.lit("/name")
+    )
+    return orders.select(
+        "o_orderkey",
+        url.alias("path"),
+        F.regexp_extract(url, r"^/(board)?game/(\d+)", 2).cast("long").alias("bgg_id"),
+    )
+
+
+def q_range_validate(spark, sf_dir):
+    """Range validation (C8, utils.py:190-197): value in [lo,hi] else NULL."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            (F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 45),
+            F.col("l_quantity"),
+        ).alias("qty_valid"),
+    )
+
+
+def q_value_id_encode(spark, sf_dir):
+    """value:id encoding (E8, bgg.py:85-105): 'Name:123' strings + trailing
+    ' Rank' strip."""
+    nation = _t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.concat_ws(
+            ":", F.col("n_name"), F.col("n_nationkey").cast("string")
+        ).alias("value_id"),
+        F.regexp_replace(
+            F.concat(F.col("n_name"), F.lit(" Rank")), " [Rr]ank$", ""
+        ).alias("rank_stripped"),
+    )
+
+
+def q_interval_parse(spark, sf_dir):
+    """Interval parse (E12, spielen.py:16-27: '2 - 4 Spieler' → min,max)."""
+    part = _t(spark, sf_dir, "part")
+    text = F.concat(
+        F.col("p_size").cast("string"),
+        F.lit(" - "),
+        (F.col("p_size") + 2).cast("string"),
+        F.lit(" Spieler"),
+    )
+    return part.select(
+        "p_partkey",
+        text.alias("raw"),
+        F.regexp_extract(text, r"(\d+)(\s*-\s*(\d+))?", 1).cast("int").alias("lo"),
+        F.regexp_extract(text, r"(\d+)(\s*-\s*(\d+))?", 3).cast("int").alias("hi"),
+    )
+
+
+def q_lenient_int(spark, sf_dir):
+    """Lenient int parse (E13, bgg.py:31-49: '~1,234 votes' → 1234)."""
+    cust = _t(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("~"),
+        F.format_number(F.col("c_custkey").cast("long") * 1000, 0),
+        F.lit(" votes"),
+    )
+    digits = F.regexp_replace(raw, "[^0-9]", "")
+    return cust.select(
+        "c_custkey",
+        raw.alias("raw"),
+        digits.cast("long").alias("votes"),
+    )
+
+
+def q_archive_date(spark, sf_dir):
+    """Timestamp from archive URL (E14, bgg_rankings.py:23-24:
+    web.archive.org/web/YYYYMMDDHHMMSS/)."""
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("http://web.archive.org/web/"),
+        F.date_format("ts", "yyyyMMddHHmmss"),
+        F.lit("/https://boardgamegeek.com/browse/boardgame"),
+    )
+    return ev.select(
+        "event_id",
+        url.alias("url"),
+        F.to_timestamp(
+            F.regexp_extract(url, r"/web/(\d{14})", 1), "yyyyMMddHHmmss"
+        ).alias("archived_at"),
+    )
+
+
+def q_clean_text(spark, sf_dir):
+    """normalize-space cleanup (C7 JVM-side tail + C10 _remove_empty,
+    merge.py:81-93): collapse whitespace, NULL when empty."""
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.when(F.length(cleaned) > 0, cleaned).alias("text_clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pagination / partitioning family (S11, A2)
+# ---------------------------------------------------------------------------
+
+def q_pagination(spark, sf_dir):
+    """Paginated split (S11, split.py:113-117: count/previous/next/page)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    rn = F.row_number().over(w)
+    total = F.count(F.lit(1)).over(Window.partitionBy())
+    page = F.floor((rn - 1) / 25).cast("int")
+    last_page = F.floor((total - 1) / 25).cast("int")
+    return docs.select(
+        "doc_id",
+        page.alias("page"),
+        total.alias("count"),
+        F.when(page > 0, page - 1).alias("previous"),
+        F.when(page < last_page, page + 1).alias("next"),
+    )
+
+
+def q_prefix_count(spark, sf_dir):
+    """Adaptive prefix counting (A2, prefixes.py:53-68): counts per
+    sanitized 2-char key prefix ([^a-z] → '_', prefixes.py:27-30)."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "_")
+    return docs.groupBy(F.substring(key, 1, 2).alias("prefix")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis family (training-pipeline ops)
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    """Token counting over documents (whitespace tokenizer)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Document quality scoring: stopword ratio + mean token length."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stop = F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(stop).alias("n_stopwords"),
+        F.round(F.size(stop) / F.size(toks), 4).alias("stopword_ratio"),
+        F.round(
+            (F.length(F.trim(F.col("text"))) - F.size(toks) + 1)
+            / F.size(toks),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+def q_minhash_band(spark, sf_dir):
+    """MinHash near-dup bucketing: 3-word shingles → md5 → min per doc;
+    docs sharing a band value are near-dup candidates."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    minhash = F.array_min(F.transform(shingles, F.md5))
+    return docs.select("doc_id", minhash.alias("minhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity-search family (embeddings)
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against the vec_id=0 query vector
+    (training-pipeline ANN baseline; exact, rounded for cross-engine
+    float stability)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    norm_q = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = F.round(dot / (norm_a * norm_q), 4)
+    # Distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps, no single-partition window); the rank window
+    # then runs over only 10 rows.
+    top = (
+        joined.select("vec_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return top.withColumn("rk", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Relational / analytics family (flagship aggregation + join)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(spark, sf_dir):
+    """TPC-H Q1-style aggregation (flagship scan+agg; DECIMAL casts keep
+    sums bit-equal across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_agg(spark, sf_dir):
+    """Broadcast-dim join + agg (J4 label-resolution shape,
+    pipelines.py:87-130: explode → broadcast join small dim → re-agg):
+    revenue per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "merge_latest_wins": q_merge_latest_wins,
+    "dedup_exact": q_dedup_exact,
+    "topk_per_host": q_topk_per_host,
+    "batchify": q_batchify,
+    "retry_backoff": q_retry_backoff,
+    "rescrape_window": q_rescrape_window,
+    "anti_join_seen": q_anti_join_seen,
+    "extract_bgg_id": q_extract_bgg_id,
+    "range_validate": q_range_validate,
+    "value_id_encode": q_value_id_encode,
+    "interval_parse": q_interval_parse,
+    "lenient_int": q_lenient_int,
+    "archive_date": q_archive_date,
+    "clean_text": q_clean_text,
+    "pagination": q_pagination,
+    "prefix_count": q_prefix_count,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "minhash_band": q_minhash_band,
+    "cosine_topk": q_cosine_topk,
+    "lineitem_agg": q_lineitem_agg,
+    "join_agg": q_join_agg,
+}
+
+ORACLES = {
+    "merge_latest_wins": """
+        SELECT user_id, event_id, ts, event_type, value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_dups
+        FROM documents GROUP BY 1
+    """,
+    "topk_per_host": """
+        SELECT event_type, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC, event_id ASC) AS rk
+        FROM events
+        QUALIFY rk <= 3
+    """,
+    "batchify": """
+        WITH numbered AS (
+            SELECT event_type, event_id,
+                   CAST(floor((row_number() OVER (
+                       PARTITION BY event_type ORDER BY event_id) - 1) / 10)
+                       AS INT) AS batch
+            FROM events)
+        SELECT event_type, batch, count(*) AS n,
+               array_to_string(list_sort(list(event_id)), ',') AS ids_csv
+        FROM numbered GROUP BY 1, 2
+    """,
+    "retry_backoff": """
+        SELECT event_id,
+               CAST(event_id % 5 AS INT) AS attempt,
+               CAST(least(power(2.0, event_id % 5) * 5, 100.0) AS BIGINT)
+                   AS backoff_sec,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   + CAST(least(power(2.0, event_id % 5) * 5, 100.0) AS BIGINT)
+                   AS not_before_epoch
+        FROM events WHERE event_type = 'error'
+    """,
+    "rescrape_window": """
+        SELECT event_id, user_id, ts FROM (
+            SELECT event_id, user_id, ts,
+                   lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events)
+        WHERE prev_ts IS NULL
+           OR floor(epoch(ts)) - floor(epoch(prev_ts)) >= 600
+    """,
+    "anti_join_seen": """
+        SELECT o_orderkey, o_custkey FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey)
+    """,
+    "extract_bgg_id": """
+        SELECT o_orderkey,
+               '/boardgame/' || o_orderkey || '/name' AS path,
+               CAST(regexp_extract(
+                   '/boardgame/' || o_orderkey || '/name',
+                   '^/(board)?game/(\\d+)', 2) AS BIGINT) AS bgg_id
+        FROM orders
+    """,
+    "range_validate": """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity BETWEEN 5 AND 45
+                    THEN l_quantity END AS qty_valid
+        FROM lineitem
+    """,
+    "value_id_encode": """
+        SELECT n_nationkey,
+               n_name || ':' || n_nationkey AS value_id,
+               regexp_replace(n_name || ' Rank', ' [Rr]ank$', '')
+                   AS rank_stripped
+        FROM nation
+    """,
+    "interval_parse": """
+        SELECT p_partkey,
+               p_size || ' - ' || (p_size + 2) || ' Spieler' AS raw,
+               CAST(regexp_extract(
+                   p_size || ' - ' || (p_size + 2) || ' Spieler',
+                   '(\\d+)(\\s*-\\s*(\\d+))?', 1) AS INT) AS lo,
+               CAST(regexp_extract(
+                   p_size || ' - ' || (p_size + 2) || ' Spieler',
+                   '(\\d+)(\\s*-\\s*(\\d+))?', 3) AS INT) AS hi
+        FROM part
+    """,
+    "lenient_int": """
+        SELECT c_custkey,
+               '~' || format('{:,}', c_custkey * 1000) || ' votes' AS raw,
+               CAST(regexp_replace(
+                   '~' || format('{:,}', c_custkey * 1000) || ' votes',
+                   '[^0-9]', '', 'g') AS BIGINT) AS votes
+        FROM customer
+    """,
+    "archive_date": """
+        SELECT event_id,
+               'http://web.archive.org/web/' || strftime(ts, '%Y%m%d%H%M%S')
+                   || '/https://boardgamegeek.com/browse/boardgame' AS url,
+               strptime(regexp_extract(
+                   'http://web.archive.org/web/' || strftime(ts, '%Y%m%d%H%M%S')
+                       || '/https://boardgamegeek.com/browse/boardgame',
+                   '/web/(\\d{14})', 1), '%Y%m%d%H%M%S') AS archived_at
+        FROM events
+    """,
+    "clean_text": """
+        SELECT doc_id,
+               nullif(trim(regexp_replace(text, '\\s+', ' ', 'g')), '')
+                   AS text_clean
+        FROM documents
+    """,
+    "pagination": """
+        WITH numbered AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) AS rn,
+                   count(*) OVER () AS total
+            FROM documents)
+        SELECT doc_id,
+               CAST(floor((rn - 1) / 25) AS INT) AS page,
+               total AS count,
+               CASE WHEN floor((rn - 1) / 25) > 0
+                    THEN CAST(floor((rn - 1) / 25) - 1 AS INT) END AS previous,
+               CASE WHEN floor((rn - 1) / 25) < floor((total - 1) / 25)
+                    THEN CAST(floor((rn - 1) / 25) + 1 AS INT) END AS next
+        FROM numbered
+    """,
+    "prefix_count": """
+        SELECT substring(
+                   regexp_replace(lower(text), '[^a-z]', '_', 'g'), 1, 2)
+                   AS prefix,
+               count(*) AS n
+        FROM documents GROUP BY 1
+    """,
+    "token_count": """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(text) AS n_chars_computed
+        FROM documents
+    """,
+    "quality_score": """
+        WITH toks AS (
+            SELECT doc_id, text,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents)
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               len(list_filter(t, x -> x IN
+                   ('the','a','an','and','or','of','to','in','is','it')))
+                   AS n_stopwords,
+               round(len(list_filter(t, x -> x IN
+                   ('the','a','an','and','or','of','to','in','is','it')))
+                   / CAST(len(t) AS DOUBLE), 4) AS stopword_ratio,
+               round((length(trim(text)) - len(t) + 1)
+                   / CAST(len(t) AS DOUBLE), 4) AS mean_token_len
+        FROM toks
+    """,
+    "minhash_band": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents)
+        SELECT doc_id,
+               list_min(list_transform(
+                   list_transform(
+                       generate_series(1, greatest(len(t) - 2, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                   s -> md5(s))) AS minhash
+        FROM toks
+    """,
+    "cosine_topk": """
+        WITH q AS (
+            SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT e.vec_id,
+                   round(
+                       list_dot_product(e.embedding, q.qvec)
+                       / (sqrt(list_dot_product(e.embedding, e.embedding))
+                          * sqrt(list_dot_product(q.qvec, q.qvec))), 4)
+                       AS cosine
+            FROM embeddings e, q WHERE e.vec_id != 0)
+        SELECT vec_id, cosine,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC)
+                   AS INT) AS rk
+        FROM scored
+        QUALIFY rk <= 10
+    """,
+    "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                   AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                   AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                   AS DOUBLE) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem GROUP BY 1, 2
+    """,
+    "join_agg": """
+        SELECT n_name,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    """,
+}

@@ -1,0 +1,71 @@
+"""SparkSession factory.
+
+Reference analog: ``merge.py:29-59`` (lru_cache'd builder, 16G driver,
+SPARK_MASTER env override).  Ours adds the configs that matter at scale:
+AQE (runtime re-planning + skew-join splitting), Arrow for every pandas
+UDF boundary, and shuffle-partition sizing from the environment so the
+same code runs on local[8], local[32], or a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Sized for the sandbox (local[32], 128 GiB).  On a real cluster these are
+# overridden by spark-submit conf; everything here is safe to override.
+_DEFAULTS = {
+    # Adaptive execution: coalesce small post-shuffle partitions, split
+    # skewed ones (boardgamegeek.com hot-host skew — SURVEY.md §4).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDFs / mapInPandas (the parse/fetch stages).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Deterministic session timezone (reference stores UTC, utils.py:99-103).
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
+    # ANSI off: we rely on try_cast/permissive casts like the reference's
+    # best-effort DataTypePipeline (pipelines.py:29-58).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "board_game_scraper_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession.
+
+    ``master`` resolution order: explicit arg > $SPARK_MASTER > local[N]
+    where N = $SPARK_GRAFT_CPUS or '*'.  ``shuffle_partitions`` defaults to
+    the local core count so small-scale runs don't schedule 200 empty
+    tasks; on a cluster pass ~2-3x total cores.
+    """
+    master = master or os.getenv("SPARK_MASTER")
+    if not master:
+        cpus = os.getenv("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[6:-1]
+            shuffle_partitions = 32 if inner == "*" else max(int(inner), 1)
+        else:
+            shuffle_partitions = 200
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
