@@ -1,0 +1,278 @@
+"""BSP crawl loop (F12/F13) — the flagship end-to-end dataflow.
+
+One round = one superstep (the Spark replacement for the reference's
+Twisted reactor loop, ``__main__.py:91-190``):
+
+    frontier ──schedule (F1-F3 politeness top-K)──► scheduled batch
+        scheduled ──fetch (S5/S6 join)──► fetched
+            200s ──parse (Arrow UDF, E1-E16)──► spans + items + discovered
+            retryables ──backoff (F9)──► re-queued frontier rows
+        discovered ──canon (C1-C6) → seen dedup (F6 bloom+anti-join)──►
+            fresh frontier rows
+    commit snapshot: frontier', seen Δ, documents Δ, items Δ, metrics Δ
+
+Every table is a SnapshotTable (Iceberg semantics): the commit at the
+end of a round is atomic per table, and the frontier commit carries the
+round number + per-host lineage, so ``resume()`` restarts exactly after
+the last fully-committed round (reference: JOBDIR resume,
+``__main__.py:139-171``; RESUMABLE_STATES extensions.py:248-307).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..sources.fetch import fetch_from_table
+from ..tables import SnapshotTable
+from .frontier import RETRYABLE, retry_rows, schedule
+from .parse import run_parse
+from .seen import ShardedBloom, filter_unseen
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | Path,
+        pages: DataFrame,
+        window_sec: float = 60.0,
+        budgets: dict | None = None,
+        max_attempts: int = 3,
+        salt_buckets: int = 8,
+        bloom_shards: int = 64,
+        use_bloom: bool = True,
+        record_schedule: bool = False,
+    ):
+        self.spark = spark
+        self.root = Path(root)
+        self.pages = pages
+        self.window_sec = window_sec
+        self.budgets = budgets
+        self.max_attempts = max_attempts
+        self.salt_buckets = salt_buckets
+        t = lambda name, schema: SnapshotTable(spark, self.root / name, schema)
+        self.frontier = t("frontier", schemas.FRONTIER)
+        self.seen = t("url_seen", schemas.URL_SEEN)
+        self.documents = t("documents", schemas.DOCUMENTS)
+        self.games = t("games", schemas.GAME_ITEM)
+        self.users = t("users", schemas.USER_ITEM)
+        self.ratings = t("ratings", schemas.RATING_ITEM)
+        self.metrics = t("metrics", schemas.METRICS)
+        self.bloom = (
+            ShardedBloom(self.root / "bloom", n_shards=bloom_shards)
+            if use_bloom
+            else None
+        )
+        # For order-equality tests vs the simulator: round ->
+        # {host: [url_canon in sched_rank order]}.
+        self.record_schedule = record_schedule
+        self.schedule_log: dict[int, dict[str, list[str]]] = {}
+
+    # ------------------------------------------------------------------ seed
+
+    def seed(self, seeds: DataFrame) -> int:
+        """Round 0: canonicalize seeds, dedup, install frontier + seen.
+
+        Reference: start_requests (bgg.py:198-227) + CSV seeds (S4).
+        """
+        from ..functions.canon import canonicalize_url
+        from ..synth import callback_kind_for
+
+        kind_udf = F.udf(callback_kind_for, "string")
+        c = seeds.withColumn("_c", canonicalize_url(F.col("url")))
+        rows = (
+            c.where(F.col("_c.url_canon").isNotNull())
+            .select(
+                "url",
+                F.col("_c.url_canon").alias("url_canon"),
+                F.xxhash64("_c.url_canon").alias("url_hash"),
+                F.col("_c.host").alias("host"),
+                F.col("priority"),
+                F.lit(0).alias("discovery_round"),
+                F.lit(0).cast("long").alias("discovery_seq"),
+                kind_udf(F.col("_c.url_canon")).alias("callback_kind"),
+                F.lit(0).alias("attempt"),
+                F.lit(0).alias("not_before_round"),
+                F.lit(None).cast("map<string,string>").alias("meta"),
+            )
+            # one row per canonical URL (dedup within the seed list)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("url_hash").orderBy(
+                        F.col("priority").desc(), F.col("url_canon")
+                    )
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        n = rows.count()
+        self.frontier.overwrite(rows, lineage={"round": 0, "stage": "seed"})
+        seen_rows = rows.select(
+            "url_hash", "url_canon", F.lit(0).alias("first_round")
+        )
+        self.seen.overwrite(seen_rows, lineage={"round": 0, "stage": "seed"})
+        if self.bloom is not None:
+            self.bloom.add(seen_rows)
+        return n
+
+    # ----------------------------------------------------------------- round
+
+    def run_round(self, round_no: int) -> dict:
+        """One BSP superstep.  Returns the round's metric dict."""
+        frontier = self.frontier.read().cache()
+
+        scheduled = schedule(
+            frontier, round_no, self.window_sec, self.budgets,
+            self.salt_buckets,
+        ).cache()
+        n_scheduled = scheduled.count()
+        if self.record_schedule and n_scheduled:
+            log: dict[str, list[str]] = {}
+            for row in scheduled.select(
+                "host", "sched_rank", "url_canon"
+            ).orderBy("host", "sched_rank").collect():
+                log.setdefault(row["host"], []).append(row["url_canon"])
+            self.schedule_log[round_no] = log
+        if n_scheduled == 0:
+            frontier.unpersist()
+            return {"round": round_no, "scheduled": 0, "fetched": 0,
+                    "parsed_items": 0, "discovered": 0, "done": True}
+
+        # Remainder stays pending (anti-join on hash: scheduled rows leave).
+        remainder = frontier.join(
+            scheduled.select("url_hash"), "url_hash", "left_anti"
+        )
+
+        fetched = fetch_from_table(scheduled, self.pages).cache()
+        ok = fetched.where(F.col("status") == 200)
+        retries = retry_rows(fetched, round_no, self.max_attempts)
+        n_ok = ok.count()
+
+        parsed = run_parse(ok).cache()
+
+        # --- items (explode nested arrays into typed tables) ---------------
+        games = parsed.select(F.explode("games").alias("g")).select("g.*")
+        users = parsed.select(F.explode("users").alias("u")).select("u.*")
+        ratings = parsed.select(F.explode("ratings").alias("r")).select("r.*")
+        docs = parsed.select("doc_id", "spans").where(F.size("spans") > 0)
+
+        # --- discoveries → dedup vs seen → fresh frontier rows -------------
+        disc = (
+            parsed.select(F.explode("discovered").alias("d"))
+            .select(
+                F.col("d.url").alias("url_canon"),
+                F.col("d.priority").alias("priority"),
+                F.col("d.callback_kind").alias("callback_kind"),
+            )
+            .groupBy("url_canon")
+            .agg(
+                F.max("priority").alias("priority"),
+                F.first("callback_kind").alias("callback_kind"),
+            )
+            .withColumn("url_hash", F.xxhash64("url_canon"))
+            .withColumn(
+                "host",
+                F.parse_url(F.col("url_canon"), F.lit("HOST")),
+            )
+        )
+        n_disc = disc.count()
+        fresh = filter_unseen(disc, self.seen.read(), self.bloom).select(
+            F.col("url_canon").alias("url"),
+            "url_canon",
+            "url_hash",
+            "host",
+            "priority",
+            F.lit(round_no + 1).alias("discovery_round"),
+            F.lit(0).cast("long").alias("discovery_seq"),
+            "callback_kind",
+            F.lit(0).alias("attempt"),
+            F.lit(round_no + 1).alias("not_before_round"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
+        ).cache()
+
+        new_frontier = remainder.unionByName(retries).unionByName(fresh)
+
+        # --- per-host metrics (A5; north_rule lineage requirement) ---------
+        host_metrics = (
+            fetched.groupBy("host")
+            .agg(
+                F.count(F.lit(1)).alias("scheduled"),
+                F.sum((F.col("status") == 200).cast("long")).alias("fetched"),
+                F.sum((F.col("status") != 200).cast("long")).alias("failed"),
+                F.avg("latency_ms").alias("avg_latency_ms"),
+            )
+            .withColumn("round", F.lit(round_no))
+        )
+        n_items = games.count() + users.count() + ratings.count()
+        metrics_rows = host_metrics.select(
+            "round", "host", "scheduled", "fetched", "failed",
+            F.lit(n_items).alias("parsed_items"),
+            F.lit(n_disc).alias("discovered_urls"),
+            "avg_latency_ms",
+        )
+
+        # --- commit (per-table snapshots; frontier last carries the round
+        # marker used by resume()) ------------------------------------------
+        lineage = {"round": round_no, "stage": "round"}
+        self.documents.append(docs, lineage=lineage)
+        self.games.append(games, lineage=lineage)
+        self.users.append(users, lineage=lineage)
+        self.ratings.append(ratings, lineage=lineage)
+        self.metrics.append(metrics_rows, lineage=lineage)
+        seen_delta = fresh.select(
+            "url_hash", "url_canon",
+            F.lit(round_no + 1).alias("first_round"),
+        )
+        self.seen.append(seen_delta, lineage=lineage)
+        if self.bloom is not None:
+            self.bloom.add(seen_delta)
+        n_fresh = fresh.count()
+        self.frontier.overwrite(
+            new_frontier,
+            lineage=lineage,
+            metrics={
+                "scheduled": n_scheduled,
+                "fetched_ok": n_ok,
+                "discovered": n_disc,
+                "fresh": n_fresh,
+                "items": n_items,
+            },
+        )
+
+        for df in (frontier, scheduled, fetched, parsed, fresh):
+            df.unpersist()
+        return {
+            "round": round_no,
+            "scheduled": n_scheduled,
+            "fetched": n_ok,
+            "parsed_items": n_items,
+            "discovered": n_disc,
+            "fresh": n_fresh,
+            "done": False,
+        }
+
+    # ------------------------------------------------------------ lifecycle
+
+    def last_round(self) -> int:
+        """Highest fully-committed round (frontier manifest lineage)."""
+        snap = self.frontier.current_snapshot()
+        if snap is None:
+            return -1
+        return int(snap["lineage"].get("round", 0))
+
+    def crawl(self, n_rounds: int, start_round: int | None = None) -> list[dict]:
+        """Run rounds [start, start+n); resumes after the last commit."""
+        start = (self.last_round() + 1) if start_round is None else start_round
+        out = []
+        for r in range(start, start + n_rounds):
+            m = self.run_round(r)
+            out.append(m)
+            if m.get("done"):
+                break
+        return out

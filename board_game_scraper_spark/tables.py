@@ -1,0 +1,158 @@
+"""Snapshot table layer — Iceberg semantics over Parquet + JSON manifests.
+
+Reference analog: the JOBDIR state machine + per-run feed files
+(``extensions.py:248-307``, ``__main__.py:139-183``) — crawl state that
+survives restarts and resumes exactly.  The north_rule requires Iceberg
+snapshots with per-partition lineage + metrics; no Iceberg runtime jar
+exists in this sandbox (verified: pyspark 4.1.2 jars/ has no iceberg, no
+network), so this module emulates the Iceberg commit protocol:
+
+- data files are immutable Parquet directories under ``data/``
+- a snapshot is a JSON manifest listing data dirs + lineage + metrics
+- commit = write manifest to temp + atomic ``os.rename`` of the CURRENT
+  pointer; readers only ever see a fully-committed snapshot
+- resume = read CURRENT; an interrupted commit leaves CURRENT untouched,
+  so re-running the round is idempotent (deterministic inputs).
+
+The API (``append`` / ``overwrite`` / ``snapshots`` / ``rollback``)
+mirrors Iceberg's so a real catalog can be dropped in on a cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class SnapshotTable:
+    """One logical table with atomic snapshot commits."""
+
+    def __init__(self, spark: SparkSession, path: str | Path, schema: StructType):
+        self.spark = spark
+        self.path = Path(path)
+        self.schema = schema
+        (self.path / "data").mkdir(parents=True, exist_ok=True)
+        (self.path / "snapshots").mkdir(parents=True, exist_ok=True)
+
+    # -- manifest plumbing --------------------------------------------------
+
+    def _current_pointer(self) -> Path:
+        return self.path / "snapshots" / "CURRENT"
+
+    def current_snapshot(self) -> dict | None:
+        ptr = self._current_pointer()
+        if not ptr.exists():
+            return None
+        name = ptr.read_text().strip()
+        manifest = self.path / "snapshots" / name
+        return json.loads(manifest.read_text())
+
+    def snapshots(self) -> list[dict]:
+        """All committed snapshots, oldest first (manifest chain)."""
+        out, snap = [], self.current_snapshot()
+        while snap is not None:
+            out.append(snap)
+            parent = snap.get("parent")
+            if not parent:
+                break
+            snap = json.loads((self.path / "snapshots" / parent).read_text())
+        return list(reversed(out))
+
+    def _commit(self, files: list[str], mode: str, lineage: dict | None,
+                metrics: dict | None) -> dict:
+        current = self.current_snapshot()
+        snap_id = (current["id"] + 1) if current else 1
+        if mode == "append" and current:
+            files = current["files"] + files
+        manifest = {
+            "id": snap_id,
+            "parent": current["name"] if current else None,
+            "name": f"snapshot-{snap_id:06d}.json",
+            "mode": mode,
+            "files": files,
+            "lineage": lineage or {},
+            "metrics": metrics or {},
+        }
+        mpath = self.path / "snapshots" / manifest["name"]
+        tmp = mpath.with_suffix(".tmp")
+        tmp.write_text(json.dumps(manifest, indent=1, sort_keys=True))
+        os.rename(tmp, mpath)
+        # Atomic pointer flip — the actual commit.
+        ptr_tmp = self._current_pointer().with_suffix(".tmp")
+        ptr_tmp.write_text(manifest["name"])
+        os.rename(ptr_tmp, self._current_pointer())
+        return manifest
+
+    # -- writes ---------------------------------------------------------------
+
+    def _write_data(self, df: DataFrame, partition_by: list[str] | None) -> str:
+        rel = f"data/{uuid.uuid4().hex}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(self.path / rel))
+        return rel
+
+    def append(self, df: DataFrame, lineage: dict | None = None,
+               metrics: dict | None = None,
+               partition_by: list[str] | None = None) -> dict:
+        rel = self._write_data(df, partition_by)
+        return self._commit([rel], "append", lineage, metrics)
+
+    def overwrite(self, df: DataFrame, lineage: dict | None = None,
+                  metrics: dict | None = None,
+                  partition_by: list[str] | None = None) -> dict:
+        rel = self._write_data(df, partition_by)
+        return self._commit([rel], "overwrite", lineage, metrics)
+
+    def commit_empty(self, lineage: dict | None = None,
+                     metrics: dict | None = None) -> dict:
+        """Commit a snapshot with no data change (metrics/lineage only)."""
+        current = self.current_snapshot()
+        files = current["files"] if current else []
+        return self._commit(files, "append" if current else "overwrite",
+                            lineage, metrics)
+
+    # -- reads ----------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        snap = self.current_snapshot()
+        if not snap or not snap["files"]:
+            return self.spark.createDataFrame([], self.schema)
+        paths = [str(self.path / rel) for rel in snap["files"]]
+        return self.spark.read.schema(self.schema).parquet(*paths)
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Point CURRENT back at an older snapshot (Iceberg rollback)."""
+        for snap in self.snapshots():
+            if snap["id"] == snapshot_id:
+                ptr_tmp = self._current_pointer().with_suffix(".tmp")
+                ptr_tmp.write_text(snap["name"])
+                os.rename(ptr_tmp, self._current_pointer())
+                return
+        raise ValueError(f"no snapshot {snapshot_id}")
+
+    def expire_snapshots(self, keep_last: int = 3) -> int:
+        """Drop data dirs referenced only by expired snapshots (S12 analog:
+        zip_rankings.py delete >N-days-old)."""
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return 0
+        live = set()
+        for snap in snaps[-keep_last:]:
+            live.update(snap["files"])
+        removed = 0
+        for snap in snaps[:-keep_last]:
+            for rel in snap["files"]:
+                target = self.path / rel
+                if rel not in live and target.exists():
+                    import shutil
+
+                    shutil.rmtree(target)
+                    removed += 1
+        return removed

@@ -1,0 +1,170 @@
+"""End-to-end crawl: order equality vs the pure-Python simulator,
+URL-seen membership equality, span oracle, exact resume.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from board_game_scraper_spark import schemas, synth
+from board_game_scraper_spark.functions.text import clean_text_one
+from board_game_scraper_spark.plans.crawl import CrawlEngine
+from board_game_scraper_spark.plans.simulator import simulate
+
+N_BROWSE, N_USERS, N_OTHER = 5, 10, 5
+N_ROUNDS = 6
+
+
+@pytest.fixture(scope="module")
+def crawl_run(spark, corpus_small, tmp_path_factory):
+    seeds_pd, pages_pd = corpus_small
+    seeds = spark.createDataFrame(seeds_pd, schemas.SEEDS)
+    pages = spark.createDataFrame(pages_pd, schemas.PAGES)
+    root = tmp_path_factory.mktemp("crawl")
+    eng = CrawlEngine(spark, root, pages, record_schedule=True)
+    eng.seed(seeds)
+    metrics = eng.crawl(N_ROUNDS)
+    sim = simulate(
+        [(r.url, int(r.priority)) for r in seeds_pd.itertuples()],
+        N_ROUNDS, N_BROWSE, N_USERS,
+    )
+    return eng, sim, metrics
+
+
+def test_schedule_order_equality(crawl_run):
+    """Per-(round, host) scheduled URL *order* matches the simulator —
+    the SURVEY §5 crawl-order-equality gate."""
+    eng, sim, _ = crawl_run
+    engine_log = {
+        (rnd, host): urls
+        for rnd, hosts in eng.schedule_log.items()
+        for host, urls in hosts.items()
+    }
+    sim_log = {k: v for k, v in sim.schedule.items() if v}
+    assert engine_log == sim_log
+
+
+def test_seen_membership_equality(crawl_run):
+    eng, sim, _ = crawl_run
+    engine_seen = {
+        r["url_canon"] for r in eng.seen.read().collect()
+    }
+    assert engine_seen == sim.seen
+
+
+def test_fetched_ok_equality(crawl_run):
+    eng, sim, _ = crawl_run
+    engine_ok = {r["doc_id"] for r in eng.documents.read().collect()}
+    # every successfully fetched+parsed page with spans is a document
+    assert engine_ok <= set(sim.fetched_ok)
+    # all 200-fetched pages produce spans in this corpus
+    assert engine_ok == set(sim.fetched_ok)
+
+
+def test_span_sequence_equality_thing_pages(crawl_run):
+    """input_hint invariant: spans (kind, text, media_ref, order) equal an
+    independent oracle built from corpus ground truth (not from XML)."""
+    eng, _, _ = crawl_run
+    docs = {
+        r["doc_id"]: r["spans"]
+        for r in eng.documents.read().collect()
+        if "/xmlapi2/thing" in r["doc_id"]
+    }
+    assert docs
+    checked = 0
+    for doc_id, spans in docs.items():
+        from urllib.parse import parse_qs, urlparse
+
+        ids = [int(x) for x in
+               parse_qs(urlparse(doc_id).query)["id"][0].split(",")]
+        expected = []
+        for gid in sorted(ids):
+            name = clean_text_one(synth._game_name(gid))
+            expected.append(("text", name, None))
+            expected.append((
+                "text",
+                f"Description of game {gid} & friends. With multiple spaces.",
+                None,
+            ))
+            expected.append((
+                "image", None,
+                f"https://cf.geekdo-images.com/original/{gid}.jpg",
+            ))
+            expected.append((
+                "video", None, f"https://www.youtube.com/watch?v=v{gid}",
+            ))
+        got = [(s["kind"], s["text"], s["media_ref"]) for s in spans]
+        offsets = [s["offset"] for s in spans]
+        assert offsets == list(range(len(spans)))  # order preserved
+        assert got == expected, doc_id
+        checked += 1
+    assert checked >= 3
+
+
+def test_entity_hack_in_parsed_names(crawl_run):
+    """Games with gid % 7 == 0 carry the double-encoded 'Ü' — the C7
+    chain must decode it (utils.py:78-86)."""
+    eng, _, _ = crawl_run
+    names = {
+        r["bgg_id"]: r["name"]
+        for r in eng.games.read().where(F.col("bgg_id").isNotNull()).collect()
+    }
+    hacked = {g: n for g, n in names.items() if g % 7 == 0}
+    assert hacked
+    for gid, name in hacked.items():
+        assert name == f"Game Über {gid}"
+
+
+def test_rating_composite_key(crawl_run):
+    """RatingItem id = '{user}:{bgg_id}' lowercased (bgg.py:709-710)."""
+    eng, _, _ = crawl_run
+    rows = eng.ratings.read().limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r["item_id"] == f"{r['bgg_user_name']}:{r['bgg_id']}"
+        assert r["bgg_user_name"] == r["bgg_user_name"].lower()
+
+
+def test_metrics_lineage_present(crawl_run):
+    eng, _, metrics = crawl_run
+    snap = eng.frontier.current_snapshot()
+    assert snap["lineage"]["round"] >= 1
+    assert "scheduled" in snap["metrics"]
+    m = eng.metrics.read()
+    assert m.where(F.col("host") == "boardgamegeek.com").count() >= 1
+
+
+def test_resume_exact(spark, corpus_small, tmp_path_factory):
+    """Kill between rounds → new engine resumes → identical final state
+    (reference JOBDIR resume, __main__.py:139-171)."""
+    seeds_pd, pages_pd = corpus_small
+    seeds = spark.createDataFrame(seeds_pd, schemas.SEEDS)
+    pages = spark.createDataFrame(pages_pd, schemas.PAGES)
+
+    root_a = tmp_path_factory.mktemp("resume_a")
+    eng_a = CrawlEngine(spark, root_a, pages)
+    eng_a.seed(seeds)
+    eng_a.crawl(4)
+
+    root_b = tmp_path_factory.mktemp("resume_b")
+    eng_b = CrawlEngine(spark, root_b, pages)
+    eng_b.seed(seeds)
+    eng_b.crawl(2)
+    # "restart": a brand-new engine object over the same root resumes
+    eng_b2 = CrawlEngine(spark, root_b, pages)
+    assert eng_b2.last_round() == 2
+    eng_b2.crawl(2)
+
+    for name in ("seen", "documents", "games", "ratings"):
+        a = getattr(eng_a, name).read()
+        b = getattr(eng_b2, name).read()
+        key = a.columns[0]
+        assert sorted(map(tuple, a.select(key).collect()), key=str) == sorted(
+            map(tuple, b.select(key).collect()), key=str
+        ), name
+    fa = {tuple(r) for r in eng_a.frontier.read()
+          .select("url_canon", "priority", "attempt", "not_before_round")
+          .collect()}
+    fb = {tuple(r) for r in eng_b2.frontier.read()
+          .select("url_canon", "priority", "attempt", "not_before_round")
+          .collect()}
+    assert fa == fb

@@ -1,0 +1,50 @@
+"""URL-seen set: bloom has no false negatives; filter_unseen ≡ set oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from board_game_scraper_spark.plans.seen import ShardedBloom, filter_unseen
+
+
+def test_bloom_no_false_negatives(tmp_path):
+    bloom = ShardedBloom(tmp_path, n_shards=4, shard_capacity=10_000)
+    rng = np.random.default_rng(42)
+    keys = rng.integers(-(2**62), 2**62, size=5_000, dtype=np.int64)
+    for shard in range(4):
+        mask = keys % 4 == shard
+        bloom.add_hashes(shard, keys[mask])
+    for shard in range(4):
+        mask = keys % 4 == shard
+        assert bloom.maybe_contains(shard, keys[mask]).all()
+
+
+def test_bloom_low_false_positive_rate(tmp_path):
+    bloom = ShardedBloom(tmp_path, n_shards=1, shard_capacity=100_000)
+    rng = np.random.default_rng(7)
+    inserted = rng.integers(0, 2**62, size=50_000, dtype=np.int64)
+    bloom.add_hashes(0, inserted)
+    probe = rng.integers(-(2**62), -1, size=50_000, dtype=np.int64)
+    fp = bloom.maybe_contains(0, probe).mean()
+    assert fp < 0.01  # 14 bits/key, 7 hashes → ~0.1% design point
+
+
+def test_filter_unseen_matches_set_oracle(spark, tmp_path):
+    cand = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(200)], "url_hash long, url_canon string"
+    )
+    seen = spark.createDataFrame(
+        [(i, f"u{i}", 0) for i in range(0, 200, 3)],
+        "url_hash long, url_canon string, first_round int",
+    )
+    expected = {i for i in range(200) if i % 3 != 0}
+
+    # exact path
+    got = {r["url_hash"] for r in filter_unseen(cand, seen).collect()}
+    assert got == expected
+
+    # bloom-accelerated path — identical result
+    bloom = ShardedBloom(tmp_path / "b", n_shards=4, shard_capacity=1000)
+    bloom.add(seen)
+    got2 = {r["url_hash"] for r in filter_unseen(cand, seen, bloom).collect()}
+    assert got2 == expected
