@@ -1,0 +1,132 @@
+"""Benchmark harness (driver contract).
+
+Runs (a) the headline operator queries at $SPARK_GRAFT_SF_DIR and (b) a
+frontier crawl replay (the BASELINE.json north metric: URLs
+scheduled+fetched+parsed per second), on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total suite sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "frontier": {urls, seconds, urls_per_sec, rounds}}
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``tools/bench_scaling.py`` → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from board_game_scraper_spark import queries as q  # noqa: E402
+from board_game_scraper_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "merge_latest_wins",
+    "topk_per_host",
+    "batchify",
+    "dedup_exact",
+    "minhash_band",
+    "quality_score",
+    "cosine_topk",
+    "lineitem_agg",
+    "join_agg",
+    "pagination",
+]
+
+
+def _materialize(df) -> None:
+    """Force full computation of every column (noop sink — count() would
+    let Catalyst prune the projections we want to measure)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_frontier_replay(spark, n_browse: int, n_users: int, n_other: int,
+                        rounds: int, window_sec: float) -> dict:
+    import shutil
+    import tempfile
+
+    from board_game_scraper_spark import schemas, synth
+    from board_game_scraper_spark.plans.crawl import CrawlEngine
+
+    seeds_pd, pages_pd = synth.corpus(
+        n_browse=n_browse, n_users=n_users, n_other=n_other
+    )
+    seeds = spark.createDataFrame(seeds_pd, schemas.SEEDS)
+    pages = spark.createDataFrame(pages_pd, schemas.PAGES).cache()
+    pages.count()
+
+    root = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        eng = CrawlEngine(spark, root, pages, window_sec=window_sec)
+        t0 = time.perf_counter()
+        eng.seed(seeds)
+        metrics = eng.crawl(rounds)
+        dt = time.perf_counter() - t0
+        urls = sum(m.get("scheduled", 0) + m.get("fetched", 0) for m in metrics)
+        docs = sum(m.get("parsed_items", 0) for m in metrics)
+        return {
+            "pages_corpus": int(pages.count()),
+            "rounds": len(metrics),
+            "urls": int(urls),
+            "parsed_items": int(docs),
+            "seconds": round(dt, 2),
+            "urls_per_sec": round(urls / dt, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        pages.unpersist()
+
+
+def main() -> None:
+    sf_dir = os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.getenv("SPARK_GRAFT_CPUS", "32")
+    scale = float(os.getenv("SPARK_GRAFT_BENCH_SCALE", "1.0"))
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = q.QUERIES[name]
+        # warm the reader metadata once so we time compute, not listing
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        _materialize(df)
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    replay = run_frontier_replay(
+        spark,
+        n_browse=int(1200 * scale),
+        n_users=int(2500 * scale),
+        n_other=int(400 * scale),
+        rounds=8,
+        window_sec=3600.0,
+    )
+    total += replay["seconds"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "frontier": replay,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,7 @@ class CrawlEngine:
         bloom_shards: int = 64,
         use_bloom: bool = True,
         record_schedule: bool = False,
+        write_coalesce: int | None = 4,
     ):
         self.spark = spark
         self.root = Path(root)
@@ -54,6 +55,10 @@ class CrawlEngine:
         self.budgets = budgets
         self.max_attempts = max_attempts
         self.salt_buckets = salt_buckets
+        # Snapshot writes per round are small at sandbox scale; 32-way
+        # writes cost ~3s each in task-commit overhead.  On a cluster with
+        # large rounds pass None (let AQE size the output).
+        self.write_coalesce = write_coalesce
         t = lambda name, schema: SnapshotTable(spark, self.root / name, schema)
         self.frontier = t("frontier", schemas.FRONTIER)
         self.seen = t("url_seen", schemas.URL_SEEN)
@@ -110,13 +115,15 @@ class CrawlEngine:
             )
             .where(F.col("_rn") == 1)
             .drop("_rn")
-        )
+        ).cache()
         n = rows.count()
-        self.frontier.overwrite(rows, lineage={"round": 0, "stage": "seed"})
+        self.frontier.overwrite(rows, lineage={"round": 0, "stage": "seed"},
+                                coalesce=self.write_coalesce)
         seen_rows = rows.select(
             "url_hash", "url_canon", F.lit(0).alias("first_round")
         )
-        self.seen.overwrite(seen_rows, lineage={"round": 0, "stage": "seed"})
+        self.seen.overwrite(seen_rows, lineage={"round": 0, "stage": "seed"},
+                            coalesce=self.write_coalesce)
         if self.bloom is not None:
             self.bloom.add(seen_rows)
         return n
@@ -152,9 +159,18 @@ class CrawlEngine:
         fetched = fetch_from_table(scheduled, self.pages).cache()
         ok = fetched.where(F.col("status") == 200)
         retries = retry_rows(fetched, round_no, self.max_attempts)
-        n_ok = ok.count()
 
         parsed = run_parse(ok).cache()
+        # One job for all round counters (parse runs once, lands in cache).
+        stats = parsed.agg(
+            F.count(F.lit(1)).alias("ok"),
+            F.coalesce(F.sum(F.size("games")), F.lit(0)).alias("games"),
+            F.coalesce(F.sum(F.size("users")), F.lit(0)).alias("users"),
+            F.coalesce(F.sum(F.size("ratings")), F.lit(0)).alias("ratings"),
+            F.coalesce(F.sum(F.size("discovered")), F.lit(0)).alias("disc"),
+        ).collect()[0]
+        n_ok = stats["ok"]
+        n_items = stats["games"] + stats["users"] + stats["ratings"]
 
         # --- items (explode nested arrays into typed tables) ---------------
         games = parsed.select(F.explode("games").alias("g")).select("g.*")
@@ -181,7 +197,7 @@ class CrawlEngine:
                 F.parse_url(F.col("url_canon"), F.lit("HOST")),
             )
         )
-        n_disc = disc.count()
+        n_disc = int(stats["disc"])
         fresh = filter_unseen(disc, self.seen.read(), self.bloom).select(
             F.col("url_canon").alias("url"),
             "url_canon",
@@ -209,7 +225,6 @@ class CrawlEngine:
             )
             .withColumn("round", F.lit(round_no))
         )
-        n_items = games.count() + users.count() + ratings.count()
         metrics_rows = host_metrics.select(
             "round", "host", "scheduled", "fetched", "failed",
             F.lit(n_items).alias("parsed_items"),
@@ -220,19 +235,26 @@ class CrawlEngine:
         # --- commit (per-table snapshots; frontier last carries the round
         # marker used by resume()) ------------------------------------------
         lineage = {"round": round_no, "stage": "round"}
-        self.documents.append(docs, lineage=lineage)
-        self.games.append(games, lineage=lineage)
-        self.users.append(users, lineage=lineage)
-        self.ratings.append(ratings, lineage=lineage)
-        self.metrics.append(metrics_rows, lineage=lineage)
-        seen_delta = fresh.select(
-            "url_hash", "url_canon",
-            F.lit(round_no + 1).alias("first_round"),
-        )
-        self.seen.append(seen_delta, lineage=lineage)
-        if self.bloom is not None:
-            self.bloom.add(seen_delta)
-        n_fresh = fresh.count()
+        # Gate empty writes (late rounds have no items): an empty append
+        # still costs a Spark job + a snapshot commit.
+        if n_ok > 0:
+            self.documents.append(docs, lineage=lineage, coalesce=self.write_coalesce)
+        if stats["games"] > 0:
+            self.games.append(games, lineage=lineage, coalesce=self.write_coalesce)
+        if stats["users"] > 0:
+            self.users.append(users, lineage=lineage, coalesce=self.write_coalesce)
+        if stats["ratings"] > 0:
+            self.ratings.append(ratings, lineage=lineage, coalesce=self.write_coalesce)
+        self.metrics.append(metrics_rows, lineage=lineage, coalesce=self.write_coalesce)
+        n_fresh = fresh.count() if n_disc else 0
+        if n_fresh:
+            seen_delta = fresh.select(
+                "url_hash", "url_canon",
+                F.lit(round_no + 1).alias("first_round"),
+            )
+            self.seen.append(seen_delta, lineage=lineage, coalesce=self.write_coalesce)
+            if self.bloom is not None:
+                self.bloom.add(seen_delta)
         self.frontier.overwrite(
             new_frontier,
             lineage=lineage,

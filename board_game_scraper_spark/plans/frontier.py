@@ -43,13 +43,17 @@ def budget_k(host: str, window_sec: float = 60.0,
              budgets: dict | None = None) -> int:
     """Max URLs schedulable for `host` in one round window (F2/F3)."""
     delay, conc = (budgets or HOST_BUDGETS).get(host, DEFAULT_BUDGET)
-    return max(int(window_sec // delay) * conc, 1)
+    # epsilon guards float division (60/0.1 == 599.999…)
+    return max(int(window_sec / delay + 1e-9) * conc, 1)
 
 
-def budgets_df(spark: SparkSession, hosts: list[str],
+def budgets_df(spark: SparkSession,
                window_sec: float = 60.0,
                budgets: dict | None = None) -> DataFrame:
-    rows = [(h, budget_k(h, window_sec, budgets)) for h in sorted(set(hosts))]
+    """Static per-host budget dim (broadcast side).  Unknown hosts take
+    the default budget via coalesce — no driver-side host discovery."""
+    table = budgets or HOST_BUDGETS
+    rows = [(h, budget_k(h, window_sec, budgets)) for h in sorted(table)]
     return spark.createDataFrame(rows, "host string, k int")
 
 
@@ -78,23 +82,21 @@ def schedule(
     spark = frontier.sparkSession
     eligible = frontier.where(F.col("not_before_round") <= F.lit(round_no))
 
-    hosts = [r[0] for r in eligible.select("host").distinct().collect()]
-    if not hosts:
-        return eligible.withColumn("sched_rank", F.lit(0)).limit(0)
-    kdf = budgets_df(spark, hosts, window_sec, budgets)
-    max_k = max(budget_k(h, window_sec, budgets) for h in hosts)
+    default_k = budget_k("__default__", window_sec, budgets)
+    kdf = budgets_df(spark, window_sec, budgets)
+    with_k = eligible.join(F.broadcast(kdf), "host", "left").withColumn(
+        "k", F.coalesce(F.col("k"), F.lit(default_k))
+    )
 
-    with_k = eligible.join(F.broadcast(kdf), "host")
-
-    # Phase 1 (skew guard): per-(host, salt) top-max_k.  Lossless prune —
-    # any global per-host top-k row is a top-k row of its salt bucket.
+    # Phase 1 (skew guard): per-(host, salt) top-k.  Lossless prune — any
+    # row in the global per-host top-k is in the top-k of its salt bucket.
     salted = with_k.withColumn(
         "_salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets))
     )
     w1 = Window.partitionBy("host", "_salt").orderBy(*schedule_order())
     pruned = (
         salted.withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= F.lit(max_k))
+        .where(F.col("_r1") <= F.col("k"))
         .drop("_r1", "_salt")
     )
 

@@ -31,6 +31,9 @@ _DEFAULTS = {
     # ANSI off: we rely on try_cast/permissive casts like the reference's
     # best-effort DataTypePipeline (pipelines.py:29-58).
     "spark.sql.ansi.enabled": "false",
+    # v2 committer: task-side renames, no serial driver-side commit loop
+    # (matters for the many small snapshot writes per crawl round).
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
 }
 
 

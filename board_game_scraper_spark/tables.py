@@ -90,8 +90,11 @@ class SnapshotTable:
 
     # -- writes ---------------------------------------------------------------
 
-    def _write_data(self, df: DataFrame, partition_by: list[str] | None) -> str:
+    def _write_data(self, df: DataFrame, partition_by: list[str] | None,
+                    coalesce: int | None) -> str:
         rel = f"data/{uuid.uuid4().hex}"
+        if coalesce:
+            df = df.coalesce(coalesce)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -100,14 +103,16 @@ class SnapshotTable:
 
     def append(self, df: DataFrame, lineage: dict | None = None,
                metrics: dict | None = None,
-               partition_by: list[str] | None = None) -> dict:
-        rel = self._write_data(df, partition_by)
+               partition_by: list[str] | None = None,
+               coalesce: int | None = None) -> dict:
+        rel = self._write_data(df, partition_by, coalesce)
         return self._commit([rel], "append", lineage, metrics)
 
     def overwrite(self, df: DataFrame, lineage: dict | None = None,
                   metrics: dict | None = None,
-                  partition_by: list[str] | None = None) -> dict:
-        rel = self._write_data(df, partition_by)
+                  partition_by: list[str] | None = None,
+                  coalesce: int | None = None) -> dict:
+        rel = self._write_data(df, partition_by, coalesce)
         return self._commit([rel], "overwrite", lineage, metrics)
 
     def commit_empty(self, lineage: dict | None = None,
