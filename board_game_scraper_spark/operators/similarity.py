@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (training-pipeline additions).
+
+Works on DataFrames with (id_col, vec_col: array<float|double>).  Two
+paths:
+
+- ``cosine_topk``      exact brute force — per-row dot products via JVM
+                       HOFs (zip_with + aggregate), distributed top-k via
+                       orderBy+limit (TakeOrderedAndProject).  The
+                       correctness baseline.
+- ``ivf_topk``         IVF-style scale path: vectors are bucketed by
+                       nearest centroid (coarse quantizer); a query only
+                       scans its ``nprobe`` closest buckets.  At 10^10
+                       vectors the probe is a partition-pruned scan of
+                       nprobe/nlist of the data instead of 100%.
+
+Centroids here come from a deterministic sample + one Lloyd iteration —
+enough to validate the bucketing plumbing; on a real corpus you'd feed
+trained centroids (or use LSH hyperplane bucketing, also provided).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Exact top-k by cosine against a single query vector.
+
+    ``query``: one-row DataFrame with column ``qvec``.  Broadcast — the
+    scan side never shuffles; orderBy+limit compiles to per-partition
+    heaps + driver merge.
+    """
+    scored = vectors.crossJoin(F.broadcast(query))
+    cos = cosine(F.col(vec_col), F.col("qvec"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        scored.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hyperplane_buckets(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH bucketing by random-hyperplane signs.
+
+    Hyperplanes are pseudo-random but deterministic: plane p, dim d has
+    weight hash(p,d) mapped to [-1,1] — computed JVM-side from xxhash64,
+    no driver-side matrix to broadcast.  bucket = sign-bit string.
+    """
+    dim = F.size(F.col(vec_col))
+    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+
+    def plane_dot(p):
+        # deterministic weight for (p, d): xxhash64 → [-1, 1]
+        idx = F.sequence(F.lit(0), dim - 1)
+        w = F.transform(
+            idx,
+            lambda d: (
+                F.pmod(
+                    F.xxhash64(p.cast("string"), d.cast("string"),
+                               F.lit(str(seed))),
+                    F.lit(2000001),
+                )
+                - 1000000
+            )
+            / 1000000.0,
+        )
+        return dot(F.col(vec_col), w)
+
+    # shiftleft needs a literal shift; 2^p via pow is exact for p < 53
+    bucket = F.aggregate(
+        F.transform(
+            planes,
+            lambda p: F.when(
+                plane_dot(p) >= 0, F.pow(F.lit(2.0), p).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+    return vectors.select(F.col(id_col), F.col(vec_col),
+                          bucket.alias("bucket"))
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast join +
+    max_by over cosine) → (id, vec, list_id).  The write side of an IVF
+    index; persist partitioned by list_id for partition-pruned probes."""
+    joined = vectors.crossJoin(F.broadcast(centroids))
+    sim = cosine(F.col(vec_col), F.col("cvec"))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.max_by(F.col("list_id"), sim).alias("list_id"),
+            F.first(vec_col).alias(vec_col),
+        )
+    )
+
+
+def make_centroids(
+    vectors: DataFrame,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse centroids: nlist vectors picked by
+    pmod(xxhash64(id), N) stratification, refined with one mean step."""
+    seeds = (
+        vectors.withColumn("list_id",
+                           F.pmod(F.xxhash64(F.col(id_col)), F.lit(nlist)))
+        .groupBy("list_id")
+        .agg(F.min_by(F.col(vec_col), F.col(id_col)).alias("cvec"))
+    )
+    assigned = ivf_assign(vectors, seeds, id_col, vec_col)
+    dim_df = vectors.select(F.size(vec_col).alias("d")).limit(1)
+    # one Lloyd step: element-wise mean per list (posexplode + re-agg)
+    exploded = assigned.select(
+        "list_id", F.posexplode(vec_col).alias("pos", "v")
+    )
+    means = (
+        exploded.groupBy("list_id", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("list_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "list_id",
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
+        )
+    )
+    return means
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """ANN top-k: scan only the nprobe lists closest to the query."""
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    qlists = (
+        centroids.crossJoin(F.broadcast(query))
+        .select("list_id", cosine(F.col("cvec"), F.col("qvec")).alias("sim"))
+        .orderBy(F.col("sim").desc())
+        .limit(nprobe)
+        .select("list_id")
+    )
+    probe = assigned.join(F.broadcast(qlists), "list_id")
+    return cosine_topk(probe, query, id_col, vec_col, k, round_to)

@@ -40,7 +40,8 @@ class SimResult:
 
 
 def _discoveries(row: SimRow, n_browse: int, n_games: int,
-                 n_users: int) -> list[tuple[str, int, str]]:
+                 n_users: int,
+                 comments_per_game: int = 2) -> list[tuple[str, int, str]]:
     """Ground-truth discoveries per URL (mirrors the corpus generator,
     not the parser — an independent path)."""
     out: list[tuple[str, int, str]] = []
@@ -58,7 +59,7 @@ def _discoveries(row: SimRow, n_browse: int, n_games: int,
         gids = [int(x) for x in q["id"][0].split(",")]
         users: list[str] = []
         for gid in sorted(gids):
-            for u in synth.game_users(gid, n_users):
+            for u in synth.game_users(gid, n_users, comments_per_game):
                 if u not in users:
                     users.append(u)
         for u in users:
@@ -75,6 +76,7 @@ def simulate(
     window_sec: float = 60.0,
     budgets: dict | None = None,
     max_attempts: int = 3,
+    comments_per_game: int = 2,
 ) -> SimResult:
     """Replay the crawl.  ``seeds`` = [(raw_url, priority), ...]."""
     n_games = max(n_browse * 15, 30)
@@ -114,7 +116,7 @@ def simulate(
             if status == 200:
                 res.fetched_ok.append(r.url_canon)
                 for url, prio, kind in _discoveries(
-                    r, n_browse, n_games, n_users
+                    r, n_browse, n_games, n_users, comments_per_game
                 ):
                     canon = canonicalize_one(url)
                     prev = discovered.get(canon)

@@ -408,6 +408,333 @@ def q_join_agg(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Content-dedup family v2 (SimHash / MinHash-LSH / near-dup verify).
+# Production operators (operators/dedup.py) use xxhash64; these oracle
+# variants use the low 60 bits of md5 so DuckDB can reproduce the hash
+# exactly — same logic, portable hash.
+# ---------------------------------------------------------------------------
+
+def _h60(col):
+    """Low-60-bit md5 hash, reproducible in DuckDB via
+    ('0x'||substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_H60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _toks(text_col):
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def _shingles(text_col, k=3):
+    toks = _toks(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprint (training-pipeline near-dup op): 16-bit
+    sign-aggregate of per-token hashes, all JVM-side HOFs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(_toks(F.col("text")))
+
+    def bit_sum(b):
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + (
+                F.shiftright(_h60(t), b).bitwiseAND(F.lit(1)).cast("int") * 2
+                - 1
+            ),
+        )
+
+    sim = None
+    for b in range(16):
+        term = F.when(bit_sum(b) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return docs.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def q_minhash_lsh_bands(spark, sf_dir):
+    """MinHash-LSH banding: 8-perm signature → 2 bands of 4 → band key.
+    Docs sharing (band, band_key) are near-dup candidates found by
+    equi-join (the only shape that survives 10^10 docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(F.col("text"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda p: F.array_min(
+            F.transform(
+                sh, lambda s: _h60(F.concat(p.cast("string"), F.lit(":"), s))
+            )
+        ),
+    )
+    banded = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.slice(sig, b * 4 + 1, 4).cast("array<string>"),
+                    )
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+    return banded
+
+
+def _docs_with_near_dups(spark, sf_dir):
+    """documents ∪ mutated copies (first token dropped, doc_id+100000) —
+    deterministic near-duplicates for pair detection."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.trim(F.col("text")), r"^\S+\s+", "").alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    """LSH candidate pairs + exact shingle-Jaccard verify >= 0.5 over a
+    corpus with planted near-duplicates."""
+    docs = _docs_with_near_dups(spark, sf_dir)
+    sh_col = _shingles(F.col("text"))
+    sh = docs.select("doc_id", sh_col.alias("sh"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda p: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: _h60(F.concat(p.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+    banded = sh.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.slice(sig, b * 4 + 1, 4).cast("array<string>"),
+                    )
+                ),
+            )
+        ).alias("band_key"),
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), "band_key")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("a"),
+                            F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"),
+                        F.col("sh").alias("sh_b")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+    return verified
+
+
+def q_fingerprint(spark, sf_dir):
+    """Winnowing-style document fingerprint: 4 smallest shingle hashes
+    combined into one md5 (rolling-hash min-sketch)."""
+    docs = _t(spark, sf_dir, "documents")
+    hashes = F.array_sort(F.transform(_shingles(F.col("text")), _h60))
+    mins = F.slice(hashes, 1, 4)
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(":", mins.cast("array<string>"))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis family v2
+# ---------------------------------------------------------------------------
+
+_LANGS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "den", "ein",
+           "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du", "est", "que"),
+    "es": ("el", "de", "que", "y", "los", "un", "por", "con", "una", "las"),
+}
+
+
+def q_language_id(spark, sf_dir):
+    """Language ID by stopword-profile hits; deterministic tie-break by
+    profile order en > de > fr > es."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in _LANGS.items()
+    }
+    best = F.greatest(*scores.values())
+    lang = (
+        F.when(best <= 0, F.lit(None).cast("string"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return docs.select(
+        "doc_id", lang.alias("lang_pred"), best.alias("lang_score")
+    )
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish regex token count (letters / digits / punct runs)."""
+    docs = _t(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.trim(F.col("text")), F.lit(pat), 0))
+        .alias("bpe_tokens"),
+        F.size(_toks(F.col("text"))).alias("ws_tokens"),
+    )
+
+
+def q_quality_full(spark, sf_dir):
+    """Composite quality score: length / stopword / distinct /
+    punctuation components (pre-training quality gate)."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.trim(F.col("text"))
+    toks = _toks(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*_LANGS["en"])))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop / n_tok
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    score = (
+        F.lit(0.25) * len_score
+        + F.lit(0.25) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.25) * distinct_ratio
+        + F.lit(0.25) * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def q_array_except_stopwords(spark, sf_dir):
+    """Per-row set difference (U3, luding.py:91 link-except shape):
+    first 5 sorted distinct non-stopword tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    stops = F.array(*[F.lit(w) for w in _LANGS["en"]])
+    kept = F.slice(F.array_sort(F.array_except(toks, stops)), 1, 5)
+    return docs.select(
+        "doc_id", F.concat_ws(",", kept).alias("top_tokens")
+    )
+
+
+def q_explode_collect(spark, sf_dir):
+    """Label-resolution join shape (J4, pipelines.py:87-130): broadcast
+    dim join then ordered collect_list back per group."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation),
+                  cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.concat_ws(
+                ",",
+                F.slice(F.array_sort(F.collect_list("c_custkey")), 1, 10)
+                .cast("array<string>"),
+            ).alias("first_custkeys"),
+        )
+    )
+
+
+def q_union_distinct(spark, sf_dir):
+    """Set union (U2, extensions.py:166-174 premium-user union)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (genuinely non-SQL-expressible; driver records a
+# weaker rows-only check)
+# ---------------------------------------------------------------------------
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate nearest neighbors (scale path of the
+    similarity-search family; centroid quantizer + nprobe pruning)."""
+    from .operators.similarity import ivf_topk, make_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    vectors = emb.where(F.col("vec_id") != 0)
+    centroids = make_centroids(vectors, nlist=4)
+    return ivf_topk(vectors, query, centroids, k=10, nprobe=2)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: media refs → Arrow-batched feature extraction
+    (deterministic fake decoder standing in for image codecs)."""
+    from .functions.media import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        "feat_dim",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -434,7 +761,26 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "lineitem_agg": q_lineitem_agg,
     "join_agg": q_join_agg,
+    "simhash": q_simhash,
+    "minhash_lsh_bands": q_minhash_lsh_bands,
+    "near_dup_pairs": q_near_dup_pairs,
+    "fingerprint": q_fingerprint,
+    "language_id": q_language_id,
+    "bpe_token_count": q_bpe_token_count,
+    "quality_full": q_quality_full,
+    "array_except_stopwords": q_array_except_stopwords,
+    "explode_collect": q_explode_collect,
+    "union_distinct": q_union_distinct,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "media_features": q_media_features,
 }
+
+_TOKS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SHINGLES_SQL = (
+    "list_transform(generate_series(1, greatest(len({t}) - 2, 1)), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])"
+).format(t="t")
+_STOPS_EN = "('the','and','of','to','a','in','is','it','you','that')"
 
 ORACLES = {
     "merge_latest_wins": """
@@ -645,5 +991,162 @@ ORACLES = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1
+    """,
+    "simhash": f"""
+        WITH toks AS (
+            SELECT doc_id, list_distinct({_TOKS_SQL}) AS t FROM documents)
+        SELECT doc_id,
+               CAST(list_reduce(list_transform(generate_series(0, 15), b ->
+                   CASE WHEN list_reduce(list_transform(t, tok ->
+                       CAST((( ('0x' || substr(md5(tok),1,15))::BIGINT >> b)
+                            & 1) * 2 - 1 AS INT)), (x, y) -> x + y) >= 0
+                        THEN 1 << b ELSE 0 END), (x, y) -> x + y)
+                   AS BIGINT) AS simhash
+        FROM toks
+    """,
+    "minhash_lsh_bands": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        sig AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 7), p ->
+                       list_min(list_transform({_SHINGLES_SQL}, s ->
+                           ('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || s),
+                                           1, 15))::BIGINT))) AS sg
+            FROM toks)
+        SELECT doc_id,
+               CAST(b AS INT) AS band,
+               md5(array_to_string(sg[b*4+1 : b*4+4], ':')) AS band_key
+        FROM sig, (VALUES (0), (1)) bands(b)
+    """,
+    "near_dup_pairs": f"""
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id,
+                   regexp_replace(trim(text), '^\\S+\\s+', '') AS text
+            FROM documents),
+        toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM all_docs),
+        sh AS (
+            SELECT doc_id, {_SHINGLES_SQL} AS sh FROM toks),
+        sig AS (
+            SELECT doc_id, sh,
+                   list_transform(generate_series(0, 7), p ->
+                       list_min(list_transform(sh, s ->
+                           ('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || s),
+                                           1, 15))::BIGINT))) AS sg
+            FROM sh),
+        banded AS (
+            SELECT doc_id,
+                   md5(array_to_string(sg[b*4+1 : b*4+4], ':')) AS band_key
+            FROM sig, (VALUES (0), (1)) bands(b)),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r USING (band_key)
+            WHERE l.doc_id < r.doc_id)
+        SELECT a, b,
+               round(len(list_intersect(sa.sh, sb.sh))
+                   / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4)
+                   AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = a
+        JOIN sh sb ON sb.doc_id = b
+        WHERE round(len(list_intersect(sa.sh, sb.sh))
+                  / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4)
+              >= 0.5
+    """,
+    "fingerprint": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        h AS (
+            SELECT doc_id,
+                   list_sort(list_transform({_SHINGLES_SQL}, s ->
+                       ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+            FROM toks)
+        SELECT doc_id,
+               md5(array_to_string(hs[1:4], ':')) AS fingerprint
+        FROM h
+    """,
+    "language_id": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        scores AS (
+            SELECT doc_id,
+                   len(list_filter(t, x -> x IN {_STOPS_EN})) AS s_en,
+                   len(list_filter(t, x -> x IN
+                       ('der','die','und','das','ist','von','mit','den',
+                        'ein','nicht'))) AS s_de,
+                   len(list_filter(t, x -> x IN
+                       ('le','la','et','les','des','un','une','du','est',
+                        'que'))) AS s_fr,
+                   len(list_filter(t, x -> x IN
+                       ('el','de','que','y','los','un','por','con','una',
+                        'las'))) AS s_es
+            FROM toks)
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN NULL
+                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                    ELSE 'es' END AS lang_pred,
+               greatest(s_en, s_de, s_fr, s_es) AS lang_score
+        FROM scores
+    """,
+    "bpe_token_count": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(trim(text),
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe_tokens,
+               len({_TOKS_SQL}) AS ws_tokens
+        FROM documents
+    """,
+    "quality_full": f"""
+        WITH base AS (
+            SELECT doc_id, trim(text) AS tx, {_TOKS_SQL} AS t
+            FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(t) AS n_tok,
+                   length(tx) AS n_chars,
+                   length(tx) - length(regexp_replace(tx, '[^\\w\\s]', '',
+                       'g')) AS n_punct,
+                   len(list_filter(t, x -> x IN {_STOPS_EN})) AS stop,
+                   len(list_distinct(t)) AS n_distinct
+            FROM base)
+        SELECT doc_id,
+               n_tok AS n_tokens,
+               round(stop / CAST(n_tok AS DOUBLE), 4) AS stop_ratio,
+               round(n_distinct / CAST(n_tok AS DOUBLE), 4)
+                   AS distinct_ratio,
+               round(
+                   0.25 * least(n_tok / 20.0, 1.0)
+                   + 0.25 * least(stop / CAST(n_tok AS DOUBLE) * 4, 1.0)
+                   + 0.25 * (n_distinct / CAST(n_tok AS DOUBLE))
+                   + 0.25 * (1 - least(n_punct
+                       / CAST(greatest(n_chars, 1) AS DOUBLE) * 5, 1.0)),
+                   4) AS quality
+        FROM m
+    """,
+    "array_except_stopwords": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+        SELECT doc_id,
+               array_to_string(
+                   (list_sort(list_distinct(
+                       list_filter(t, x -> x NOT IN {_STOPS_EN}))))[1:5],
+                   ',') AS top_tokens
+        FROM toks
+    """,
+    "explode_collect": """
+        SELECT n_name,
+               count(*) AS n_customers,
+               array_to_string(list_sort(list(c_custkey))[1:10], ',')
+                   AS first_custkeys
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    """,
+    "union_distinct": """
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type IN ('click', 'purchase')
     """,
 }

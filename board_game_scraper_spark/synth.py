@@ -124,13 +124,15 @@ def _game_name(gid: int) -> str:
     return f"Game {gid}"
 
 
-def thing_body(ids: list[int], n_users: int) -> str:
+def thing_body(ids: list[int], n_users: int,
+               comments_per_game: int = 2) -> str:
     items = []
     for gid in sorted(ids):
         comments = "\n".join(
             f'<comment username="{u}" rating="{1 + _h(f"r:{gid}:{u}") % 10}" '
-            f'value="nice game {gid}"/>'
-            for u in game_users(gid, n_users)
+            f'value="nice game {gid} — &amp;#195;&amp;#156;berraschend   gut, '
+            f'plays {1 + _h(f"pc:{gid}:{u}") % 60} times"/>'
+            for u in game_users(gid, n_users, comments_per_game)
         )
         year = 1990 + _h(f"y:{gid}") % 35
         avg = round(4 + (_h(f"avg:{gid}") % 600) / 100, 2)
@@ -219,8 +221,14 @@ def corpus(
     n_users: int = 50,
     n_other: int = 20,
     per_page: int = 20,
+    comments_per_game: int = 2,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Build (seeds, pages) DataFrames.  n_games = n_browse * 15."""
+    """Build (seeds, pages) DataFrames.  n_games = n_browse * 15.
+
+    ``comments_per_game`` scales per-page parse work (the reference
+    fetches 100 rating comments per thing page, bgg.py:124); tests use 2
+    for speed, benchmarks use realistic volumes.
+    """
     n_games = max(n_browse * 15, 30)
     pages: dict[str, tuple[int, str, str]] = {}  # canon -> (status, ctype, body)
 
@@ -236,7 +244,8 @@ def corpus(
         gids = page_games(p, n_games, per_page)
         for i in range(0, len(gids), 10):
             batch = gids[i : i + 10]
-            add(thing_url(batch), "text/xml", thing_body(batch, n_users))
+            add(thing_url(batch), "text/xml",
+                thing_body(batch, n_users, comments_per_game))
     for u in range(1, n_users + 1):
         name = f"user{u}"
         add(user_url(name), "text/xml", user_body(name))
