@@ -33,6 +33,21 @@ from .parse import run_parse
 from .seen import ShardedBloom, filter_unseen
 
 
+def callback_kind_col(url_canon):
+    """JVM-side parse-callback dispatch (synth.callback_kind_for as a
+    CASE chain — no Python UDF in the seed path)."""
+    return (
+        F.when(url_canon.contains("/browse/boardgame"), F.lit("bgg_browse"))
+        .when(url_canon.contains("/xmlapi2/thing"), F.lit("bgg_thing"))
+        .when(url_canon.contains("/xmlapi2/user"), F.lit("bgg_user"))
+        .when(url_canon.contains("/xmlapi2/collection"),
+              F.lit("bgg_collection"))
+        .when(url_canon.contains("luding.org"), F.lit("luding_game"))
+        .when(url_canon.contains("spielen.de"), F.lit("spielen_game"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -85,9 +100,7 @@ class CrawlEngine:
         Reference: start_requests (bgg.py:198-227) + CSV seeds (S4).
         """
         from ..functions.canon import canonicalize_url
-        from ..synth import callback_kind_for
 
-        kind_udf = F.udf(callback_kind_for, "string")
         c = seeds.withColumn("_c", canonicalize_url(F.col("url")))
         rows = (
             c.where(F.col("_c.url_canon").isNotNull())
@@ -99,7 +112,7 @@ class CrawlEngine:
                 F.col("priority"),
                 F.lit(0).alias("discovery_round"),
                 F.lit(0).cast("long").alias("discovery_seq"),
-                kind_udf(F.col("_c.url_canon")).alias("callback_kind"),
+                callback_kind_col(F.col("_c.url_canon")).alias("callback_kind"),
                 F.lit(0).alias("attempt"),
                 F.lit(0).alias("not_before_round"),
                 F.lit(None).cast("map<string,string>").alias("meta"),
@@ -235,16 +248,29 @@ class CrawlEngine:
         # --- commit (per-table snapshots; frontier last carries the round
         # marker used by resume()) ------------------------------------------
         lineage = {"round": round_no, "stage": "round"}
+
+        def _coalesce_for(n_rows: int) -> int | None:
+            # coalesce() caps the parallelism of the whole write plan
+            # (including the explode feeding it) — only collapse small
+            # outputs; big ones keep full parallelism.
+            if self.write_coalesce is None or n_rows > 25_000:
+                return None
+            return self.write_coalesce
+
         # Gate empty writes (late rounds have no items): an empty append
         # still costs a Spark job + a snapshot commit.
         if n_ok > 0:
-            self.documents.append(docs, lineage=lineage, coalesce=self.write_coalesce)
+            self.documents.append(docs, lineage=lineage,
+                                  coalesce=_coalesce_for(n_ok))
         if stats["games"] > 0:
-            self.games.append(games, lineage=lineage, coalesce=self.write_coalesce)
+            self.games.append(games, lineage=lineage,
+                              coalesce=_coalesce_for(stats["games"]))
         if stats["users"] > 0:
-            self.users.append(users, lineage=lineage, coalesce=self.write_coalesce)
+            self.users.append(users, lineage=lineage,
+                              coalesce=_coalesce_for(stats["users"]))
         if stats["ratings"] > 0:
-            self.ratings.append(ratings, lineage=lineage, coalesce=self.write_coalesce)
+            self.ratings.append(ratings, lineage=lineage,
+                                coalesce=_coalesce_for(stats["ratings"]))
         self.metrics.append(metrics_rows, lineage=lineage, coalesce=self.write_coalesce)
         n_fresh = fresh.count() if n_disc else 0
         if n_fresh:

@@ -33,8 +33,18 @@ from datetime import datetime, timezone
 
 import pandas as pd
 
+from functools import lru_cache
+
 from ..functions.canon import canonicalize_one
 from ..functions.text import clean_text_one
+
+# Discovered URLs repeat heavily across pages of one batch (the same
+# user/collection URLs appear on every thing page mentioning the user) —
+# canonicalization is pure, so memoize per worker.
+_canon_cached = lru_cache(maxsize=1_000_000)(canonicalize_one)
+# Names/descriptions repeat across overlapping batches; the C7 chain is
+# pure → memoize (bit-identical output, just cached).
+clean_text_one = lru_cache(maxsize=500_000)(clean_text_one)
 
 BGG = "https://boardgamegeek.com"
 
@@ -377,7 +387,7 @@ def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # downstream dedup joins on canonical keys.
             disc = []
             for d in parsed["discovered"]:
-                canon = canonicalize_one(d["url"])
+                canon = _canon_cached(d["url"])
                 if canon:
                     disc.append({"url": canon, "priority": d["priority"],
                                  "callback_kind": d["callback_kind"]})
@@ -399,10 +409,21 @@ def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def run_parse(fetched_ok):
-    """fetched (status==200) → PARSED DataFrame (one Arrow stage)."""
+def run_parse(fetched_ok, target_partitions: int | None = None):
+    """fetched (status==200) → PARSED DataFrame (one Arrow stage).
+
+    ``target_partitions``: AQE sizes the upstream join output by *bytes*
+    (~64MB partitions), which throttles this CPU-bound stage; repartition
+    to ~2x cores so every core parses.  The body shuffle it costs is far
+    cheaper than the serial parse it prevents.
+    """
     from ..schemas import PARSED
 
-    return fetched_ok.select(
-        "url_canon", "callback_kind", "body"
-    ).mapInPandas(parse_batches, PARSED)
+    src = fetched_ok.select("url_canon", "callback_kind", "body")
+    if target_partitions is None:
+        target_partitions = (
+            fetched_ok.sparkSession.sparkContext.defaultParallelism * 2
+        )
+    if target_partitions:
+        src = src.repartition(target_partitions)
+    return src.mapInPandas(parse_batches, PARSED)

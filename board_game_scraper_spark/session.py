@@ -64,6 +64,12 @@ def get_spark(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    # Local mode runs everything in the driver JVM: the 1g default heap
+    # collapses under 32 concurrent tasks (GC-bound, 32 cores slower
+    # than 8).  Reference uses 16G (merge.py:38-48); sandbox has 128 GiB.
+    if master.startswith("local"):
+        conf.setdefault("spark.driver.memory",
+                        os.getenv("SPARK_GRAFT_DRIVER_MEM", "24g"))
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)

@@ -22,6 +22,7 @@ REPO = Path(__file__).resolve().parent.parent
 CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
+import pandas as pd
 from board_game_scraper_spark.session import get_spark
 from board_game_scraper_spark import synth, schemas
 from board_game_scraper_spark.plans.crawl import CrawlEngine
@@ -29,14 +30,21 @@ import tempfile, shutil
 
 cpus = int(sys.argv[1]); scale = float(sys.argv[2]); rounds = int(sys.argv[3])
 spark = get_spark("scaling", master="local[%d]" % cpus,
-                  shuffle_partitions=cpus)
-seeds_pd, pages_pd = synth.corpus(
-    n_browse=int(1000*scale), n_users=int(3000*scale), n_other=int(300*scale),
-    comments_per_game=40)
+                  shuffle_partitions=cpus,
+                  extra_conf={{"spark.driver.memory": "48g"}})
+# Full-frontier replay (the north-metric shape: the 10^10-URL frontier
+# already exists; we replay schedule+fetch+parse over it in politeness
+# windows).  Seeds = every URL in the corpus; realistic page weights
+# (100 rating comments per thing page, like the reference's pagesize).
+_, pages_pd = synth.corpus(
+    n_browse=int(20000*scale), n_users=int(8000*scale),
+    n_other=int(500*scale), comments_per_game=100)
+seeds_pd = pd.DataFrame(
+    {{"url": pages_pd.url_canon, "source": "replay", "priority": 0}})
 seeds = spark.createDataFrame(seeds_pd, schemas.SEEDS)
 pages = spark.createDataFrame(pages_pd, schemas.PAGES).cache(); pages.count()
 root = tempfile.mkdtemp(prefix="scale_")
-eng = CrawlEngine(spark, root, pages, window_sec=14400.0)
+eng = CrawlEngine(spark, root, pages, window_sec=100000.0)
 t0 = time.perf_counter()
 eng.seed(seeds)
 ms = eng.crawl(rounds)
