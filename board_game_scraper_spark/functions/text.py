@@ -115,3 +115,45 @@ def validate_range_col(col, lower=None, upper=None):
 def normalize_space_col(col):
     """JVM-side normalize-space (no UDF) for already-tagless text."""
     return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def limit_images_col(col, n: int):
+    """C11 (pipelines.py:187-239): copy first n URLs; 0 → none (NULL),
+    -1 → all."""
+    if n == 0:
+        return F.lit(None).cast("array<string>")
+    if n < 0:
+        return col
+    limited = F.slice(col, 1, n)
+    return F.when(F.size(limited) > 0, limited)
+
+
+# C12 (pipelines.py:146-184 ResolveImagePipeline): dbpedia/wikidata file
+# pages → commons Special:Redirect.  regex mirrors pipelines.py:157.
+_COMMONS_PATH_RE = r"^/(resource/File:|wiki/Special:EntityData/)(.+)$"
+_COMMONS_URL = "https://commons.wikimedia.org/wiki/Special:Redirect/file/"
+
+
+_COMMONS_FULL_RE = (
+    r"^https?://(?:[a-z]{2}\.dbpedia\.org|(?:www\.)?dbpedia\.org"
+    r"|(?:www\.)?wikidata\.org)"
+    r"/(resource/File:|wiki/Special:EntityData/)(.+)$"
+)
+
+
+def commons_image_url_col(col):
+    """Rewrite one URL column: matched file-page paths → commons redirect
+    URL (spaces → underscores per pipelines.py:171); others unchanged.
+    Pure regex (parse_url rejects URLs containing spaces, which the
+    reference's urlparse tolerates — pipelines.py:161).
+    """
+    file_id = F.regexp_extract(col, _COMMONS_FULL_RE, 2)
+    rewritten = F.concat(
+        F.lit(_COMMONS_URL), F.regexp_replace(file_id, " ", "_")
+    )
+    return F.when(file_id != "", rewritten).otherwise(col)
+
+
+def commons_image_urls_col(arr_col):
+    """C12 over an array column (image_url is array<string>)."""
+    return F.transform(arr_col, commons_image_url_col)

@@ -29,7 +29,7 @@ from .. import schemas
 from ..sources.fetch import fetch_from_table
 from ..tables import SnapshotTable
 from .frontier import RETRYABLE, retry_rows, schedule
-from .parse import run_parse
+from .parse import run_parse, run_parse_flat
 from .seen import ShardedBloom, filter_unseen
 
 
@@ -42,6 +42,12 @@ def callback_kind_col(url_canon):
         .when(url_canon.contains("/xmlapi2/user"), F.lit("bgg_user"))
         .when(url_canon.contains("/xmlapi2/collection"),
               F.lit("bgg_collection"))
+        .when(url_canon.contains("historicalrankgraph"),
+              F.lit("bgg_rank_history"))
+        .when(url_canon.contains("query.wikidata.org/sparql"),
+              F.lit("wikidata_sparql"))
+        .when(url_canon.contains("/wiki/Special:EntityData/"),
+              F.lit("wikidata_entity"))
         .when(url_canon.contains("luding.org"), F.lit("luding_game"))
         .when(url_canon.contains("spielen.de"), F.lit("spielen_game"))
         .otherwise(F.lit("unknown"))
@@ -169,31 +175,50 @@ class CrawlEngine:
             scheduled.select("url_hash"), "url_hash", "left_anti"
         )
 
-        fetched = fetch_from_table(scheduled, self.pages).cache()
-        ok = fetched.where(F.col("status") == 200)
+        # Fetch plan: the full (with-body) plan feeds ONLY the fused
+        # parse→write pass; the slim (no-body) projection is cached for
+        # retries/metrics so bodies never sit in executor storage twice.
+        fetched_full = fetch_from_table(scheduled, self.pages)
+        fetched = fetched_full.drop("body", "content_type").cache()
+        ok = fetched_full.where(F.col("status") == 200)
         retries = retry_rows(fetched, round_no, self.max_attempts)
 
-        parsed = run_parse(ok).cache()
-        # One job for all round counters (parse runs once, lands in cache).
-        stats = parsed.agg(
-            F.count(F.lit(1)).alias("ok"),
-            F.coalesce(F.sum(F.size("games")), F.lit(0)).alias("games"),
-            F.coalesce(F.sum(F.size("users")), F.lit(0)).alias("users"),
-            F.coalesce(F.sum(F.size("ratings")), F.lit(0)).alias("ratings"),
-            F.coalesce(F.sum(F.size("discovered")), F.lit(0)).alias("disc"),
-        ).collect()[0]
-        n_ok = stats["ok"]
+        # Fused parse: one pass fetch-join → mapInArrow → flat parquet.
+        # (Caching or multi-pass-writing the deep-nested PARSED shape
+        # anti-scales 6x at high parallelism — see schemas.PARSE_FLAT.)
+        import shutil as _shutil
+
+        scratch = self.root / "scratch" / f"round-{round_no}"
+        run_parse_flat(ok).write.mode("overwrite").parquet(str(scratch))
+        flat = self.spark.read.schema(schemas.PARSE_FLAT).parquet(
+            str(scratch)
+        )
+        kind_counts = {
+            r["item_kind"]: r["n"]
+            for r in flat.groupBy("item_kind")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_ok = int(kind_counts.get("page", 0))
+        stats = {
+            "games": int(kind_counts.get("game", 0)),
+            "users": int(kind_counts.get("user", 0)),
+            "ratings": int(kind_counts.get("rating", 0)),
+        }
         n_items = stats["games"] + stats["users"] + stats["ratings"]
 
-        # --- items (explode nested arrays into typed tables) ---------------
-        games = parsed.select(F.explode("games").alias("g")).select("g.*")
-        users = parsed.select(F.explode("users").alias("u")).select("u.*")
-        ratings = parsed.select(F.explode("ratings").alias("r")).select("r.*")
-        docs = parsed.select("doc_id", "spans").where(F.size("spans") > 0)
+        # --- item tables: columnar filtered reads of the flat output -------
+        games = flat.where(F.col("item_kind") == "game").select("game.*")
+        users = flat.where(F.col("item_kind") == "user").select("user.*")
+        ratings = flat.where(F.col("item_kind") == "rating").select("rating.*")
+        pages_rows = flat.where(F.col("item_kind") == "page")
+        docs = pages_rows.select(
+            F.col("url_canon").alias("doc_id"), "spans"
+        ).where(F.size("spans") > 0)
 
         # --- discoveries → dedup vs seen → fresh frontier rows -------------
         disc = (
-            parsed.select(F.explode("discovered").alias("d"))
+            pages_rows.select(F.explode("discovered").alias("d"))
             .select(
                 F.col("d.url").alias("url_canon"),
                 F.col("d.priority").alias("priority"),
@@ -209,8 +234,8 @@ class CrawlEngine:
                 "host",
                 F.parse_url(F.col("url_canon"), F.lit("HOST")),
             )
-        )
-        n_disc = int(stats["disc"])
+        ).cache()
+        n_disc = disc.count()
         fresh = filter_unseen(disc, self.seen.read(), self.bloom).select(
             F.col("url_canon").alias("url"),
             "url_canon",
@@ -251,10 +276,14 @@ class CrawlEngine:
 
         def _coalesce_for(n_rows: int) -> int | None:
             # coalesce() caps the parallelism of the whole write plan
-            # (including the explode feeding it) — only collapse small
-            # outputs; big ones keep full parallelism.
-            if self.write_coalesce is None or n_rows > 25_000:
+            # (including the explode feeding it) — collapse small outputs
+            # hard; large outputs keep moderate width (1 task per ~100k
+            # rows): full-width writes of millions of tiny files thrash
+            # the shared local disk.
+            if self.write_coalesce is None:
                 return None
+            if n_rows > 25_000:
+                return max(self.write_coalesce, min(n_rows // 100_000, 16))
             return self.write_coalesce
 
         # Gate empty writes (late rounds have no items): an empty append
@@ -293,8 +322,9 @@ class CrawlEngine:
             },
         )
 
-        for df in (frontier, scheduled, fetched, parsed, fresh):
+        for df in (frontier, scheduled, fetched, disc, fresh):
             df.unpersist()
+        _shutil.rmtree(scratch, ignore_errors=True)
         return {
             "round": round_no,
             "scheduled": n_scheduled,

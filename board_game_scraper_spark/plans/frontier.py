@@ -135,6 +135,73 @@ def batch_api_ids(
 
 RETRYABLE = (429, 500, 502, 503, 504, 408, 202)  # settings.py:244-253
 
+# F4 AutoThrottle (settings.py:221-233): start 2x delay (>=5s), max 60s,
+# back off on throttle codes, ease toward the base delay otherwise.
+THROTTLE_CODES = (429, 503, 504)  # bgg.py:138
+AUTOTHROTTLE_MAX_DELAY = 60.0
+EWMA_ALPHA = 0.3
+
+
+def update_host_state(
+    host_state: DataFrame, fetched: DataFrame, round_no: int,
+    budgets: dict | None = None,
+) -> DataFrame:
+    """Recompute per-host adaptive delay from this round's outcomes.
+
+    Plain DataFrame agg (SURVEY §2.2 F4): EWMA the observed latency,
+    double the delay (capped 60s) when any throttle code appeared,
+    otherwise decay 25% toward the configured base delay.  The result
+    feeds ``schedule(budgets=...)`` next round via ``budget_k``.
+    """
+    table = budgets or HOST_BUDGETS
+    spark = fetched.sparkSession
+    base = spark.createDataFrame(
+        [(h, d, c) for h, (d, c) in sorted(table.items())],
+        "host string, base_delay double, concurrency int",
+    )
+    obs = fetched.groupBy("host").agg(
+        F.avg("latency_ms").alias("obs_latency_ms"),
+        F.max(F.col("status").isin(list(THROTTLE_CODES)).cast("int"))
+        .alias("throttled"),
+    )
+    prev = host_state.select(
+        "host", F.col("delay_sec").alias("prev_delay"),
+        F.col("ewma_latency_ms").alias("prev_ewma"),
+    )
+    joined = (
+        obs.join(prev, "host", "left")
+        .join(F.broadcast(base), "host", "left")
+        .withColumn("base_delay",
+                    F.coalesce(F.col("base_delay"),
+                               F.lit(DEFAULT_BUDGET[0])))
+        .withColumn("concurrency",
+                    F.coalesce(F.col("concurrency"),
+                               F.lit(DEFAULT_BUDGET[1])))
+        .withColumn("prev_delay",
+                    F.coalesce(F.col("prev_delay"), F.col("base_delay")))
+    )
+    new_delay = F.when(
+        F.col("throttled") == 1,
+        F.least(F.col("prev_delay") * 2,
+                F.lit(AUTOTHROTTLE_MAX_DELAY)),
+    ).otherwise(
+        F.greatest(F.col("prev_delay") * 0.75, F.col("base_delay"))
+    )
+    ewma = F.coalesce(
+        F.lit(EWMA_ALPHA) * F.col("obs_latency_ms")
+        + (1 - EWMA_ALPHA) * F.coalesce(F.col("prev_ewma"),
+                                        F.col("obs_latency_ms")),
+        F.col("prev_ewma"),
+    )
+    return joined.select(
+        "host",
+        F.round(new_delay, 3).alias("delay_sec"),
+        F.col("concurrency"),
+        F.round(ewma, 2).alias("ewma_latency_ms"),
+        F.when(F.col("throttled") == 1, F.lit(round_no + 1))
+        .otherwise(F.lit(0)).alias("backoff_until_round"),
+    )
+
 
 def retry_rows(
     fetched: DataFrame, round_no: int, max_attempts: int = 3

@@ -86,6 +86,109 @@ def _span(kind, offset, text=None, media_ref=None):
             "offset": offset}
 
 
+MIN_VOTES = 20  # bgg.py:147
+
+
+def _median_grouped(values: list[float], interval: float = 1.0):
+    """statistics.median_grouped — exact formula L + ((n/2 - cf)/f)*h
+    (E7, bgg.py:73-83; not equal to percentile_approx, so computed here
+    bit-for-bit)."""
+    import statistics
+
+    if not values:
+        return None
+    return float(statistics.median_grouped(values, interval))
+
+
+def _expand_votes(pairs: list[tuple[float, int]]) -> list[float]:
+    """(value, numvotes) → value repeated numvotes times
+    (bgg.py:73-79 _parse_votes)."""
+    out: list[float] = []
+    for value, votes in pairs:
+        out.extend([value] * votes)
+    return out
+
+
+def _filter_votes(votes_best: int, votes_rec: int, votes_not: int,
+                  best: bool, min_votes: int = MIN_VOTES) -> bool:
+    """bgg.py:323-334: drop rows with < min_votes/2 total; majority rule
+    (Recommended counts as 'true' unless scoring Best)."""
+    if votes_best + votes_rec + votes_not < min_votes / 2:
+        return False
+    votes_true, votes_false = votes_best, votes_not
+    if best:
+        votes_false += votes_rec
+    else:
+        votes_true += votes_rec
+    return votes_true > votes_false
+
+
+def _parse_numplayers(raw: str | None) -> int | None:
+    """'4+' → 5 (bgg.py:52-61)."""
+    if not raw:
+        return None
+    n = _int(raw)
+    if n:
+        return n
+    if raw.endswith("+"):
+        n = _int(raw[:-1]) or -1
+        return n + 1
+    return None
+
+
+def _fold_player_poll(item: ET.Element, min_players, max_players):
+    """E6 (bgg.py:336-357 _player_count_votes): (min_rec, max_rec,
+    min_best, max_best) from the suggested_numplayers poll."""
+    poll = item.find("poll[@name='suggested_numplayers']")
+    if poll is None or (_int(poll.get("totalvotes")) or 0) < MIN_VOTES:
+        return min_players, max_players, min_players, max_players
+    votes = []
+    for res in poll.findall("results"):
+        players = _parse_numplayers(res.get("numplayers"))
+        if not players:
+            continue
+
+        def nv(val):
+            e = res.find(f"result[@value='{val}']")
+            return (_int(e.get("numvotes")) or 0) if e is not None else 0
+
+        votes.append((players, nv("Best"), nv("Recommended"),
+                      nv("Not Recommended")))
+    votes.sort(key=lambda x: x[0])
+    rec = [v[0] for v in votes if _filter_votes(v[1], v[2], v[3], False)]
+    best = [v[0] for v in votes if _filter_votes(v[1], v[2], v[3], True)]
+    return (
+        min(rec, default=min_players),
+        max(rec, default=max_players),
+        min(best, default=min_players),
+        max(best, default=max_players),
+    )
+
+
+def _poll_stat(item: ET.Element, name: str, attr: str = "value",
+               enum: bool = False):
+    """E7 (bgg.py:359-373 _poll): median_grouped over expanded votes;
+    None when the poll has < MIN_VOTES total."""
+    poll = item.find(f"poll[@name='{name}']")
+    if poll is None or (_int(poll.get("totalvotes")) or 0) < MIN_VOTES:
+        return None
+    pairs = []
+    for i, res in enumerate(poll.findall("results/result"), start=1):
+        value = i if enum else _int(res.get(attr))
+        votes = _int(res.get("numvotes")) or 0
+        if value is not None:
+            pairs.append((value, votes))
+    expanded = _expand_votes(pairs)
+    return _median_grouped(expanded) if expanded else None
+
+
+def _remove_rank_suffix(value: str | None) -> str | None:
+    """bgg.py:92-98 _remove_rank."""
+    if value and value.lower().endswith(" rank"):
+        return value[:-5]
+    return value
+
+
 def batchify(ids: list[int], size: int = 10) -> list[list[int]]:
     """bgg.py:263 batching: sorted ids in chunks of `size`."""
     s = sorted(ids)
@@ -167,6 +270,23 @@ def parse_thing(url_canon: str, body: str) -> dict:
         video_els = item.findall("videos/video")
 
         avg = attr_val("average", _float, ratings_el) if ratings_el is not None else None
+        min_p = _validate_range(attr_val("minplayers"), 1, None)
+        max_p = _validate_range(attr_val("maxplayers"), 1, None)
+        min_rec, max_rec, min_best, max_best = _fold_player_poll(
+            item, min_p, max_p
+        )
+        add_rank = [
+            {
+                "game_type": r.get("name"),
+                "game_type_id": _int(r.get("id")),
+                "name": _remove_rank_suffix(r.get("friendlyname")),
+                "rank": _int(r.get("value")),
+                "bayes_rating": _float(r.get("bayesaverage")),
+            }
+            for r in item.findall(
+                "statistics/ratings/ranks/rank[@type='family']"
+            )
+        ]
         game = {
             "bgg_id": gid,
             "name": name,
@@ -179,15 +299,16 @@ def parse_thing(url_canon: str, body: str) -> dict:
             "url": f"{BGG}/boardgame/{gid}/",
             "image_url": [image_el.text] if image_el is not None else None,
             "video_url": [v.get("link") for v in video_els] or None,
-            "min_players": _validate_range(attr_val("minplayers"), 1, None),
-            "max_players": _validate_range(attr_val("maxplayers"), 1, None),
-            "min_players_rec": None,
-            "max_players_rec": None,
-            "min_players_best": None,
-            "max_players_best": None,
+            "min_players": min_p,
+            "max_players": max_p,
+            "min_players_rec": min_rec,
+            "max_players_rec": max_rec,
+            "min_players_best": min_best,
+            "max_players_best": max_best,
             "min_age": _validate_range(attr_val("minage"), 0, 21),
             "max_age": None,
-            "min_age_rec": None,
+            "min_age_rec": _validate_range(
+                _poll_stat(item, "suggested_playerage"), 0, 21),
             "min_time": _validate_range(attr_val("playingtime"), 1, None),
             "max_time": _validate_range(attr_val("playingtime"), 1, None),
             "category": _link_values(item, "boardgamecategory") or None,
@@ -200,7 +321,7 @@ def parse_thing(url_canon: str, body: str) -> dict:
             "implementation": None,
             "integration": None,
             "rank": _int(rank_el.get("value")) if rank_el is not None else None,
-            "add_rank": None,
+            "add_rank": add_rank or None,
             "num_votes": _validate_range(
                 attr_val("usersrated", el=ratings_el) if ratings_el is not None else None,
                 0, None),
@@ -214,7 +335,11 @@ def parse_thing(url_canon: str, body: str) -> dict:
             "complexity": _validate_range(
                 attr_val("averageweight", _float, ratings_el) if ratings_el is not None else None,
                 1, 5),
-            "language_dependency": None,
+            "language_dependency": _validate_range(
+                _poll_stat(item, "language_dependence", attr="level",
+                           enum=True),
+                1, 5),
+            "published_at": None,
             "scraped_at": SCRAPED_AT,
         }
         games.append(game)
@@ -335,7 +460,7 @@ def _parse_simple_game(url_canon: str, body: str, source: str) -> dict:
         "mechanic", "cooperative", "compilation", "compilation_of", "family",
         "expansion", "implementation", "integration", "rank", "add_rank",
         "num_votes", "avg_rating", "stddev_rating", "bayes_rating",
-        "complexity", "language_dependency")}
+        "complexity", "language_dependency", "published_at")}
     game.update(
         {
             "name": name,
@@ -352,6 +477,207 @@ def _parse_simple_game(url_canon: str, body: str, source: str) -> dict:
             "discovered": []}
 
 
+def jmes_path(data, path: str):
+    """Minimal JMESPath subset used by the reference loaders (E3,
+    wikidata.py:196-256): dotted keys, '[]' list projection, '*'
+    wildcard over dict values.  Returns a flat list of matches."""
+    nodes = [data]
+    for part in path.split("."):
+        proj = part.endswith("[]")
+        key = part[:-2] if proj else part
+        nxt = []
+        for node in nodes:
+            if key == "*":
+                values = list(node.values()) if isinstance(node, dict) else []
+            elif isinstance(node, dict) and key in node:
+                values = [node[key]]
+            else:
+                values = []
+            for v in values:
+                if proj or (key == "*" and isinstance(v, list)):
+                    if isinstance(v, list):
+                        nxt.extend(v)
+                else:
+                    nxt.append(v)
+        nodes = nxt
+    return nodes
+
+
+def _first(values):
+    for v in values:
+        if v is not None and v != "":
+            return v
+    return None
+
+
+def parse_wikidata_entity(url_canon: str, body: str) -> dict:
+    """E3 (wikidata.py:196-256): EntityData JSON → GameItem via the
+    reference's jmespath list, TakeFirst on name."""
+    import json as _json
+
+    doc = _json.loads(body)
+    entities = doc.get("entities", {})
+    spans, games = [], []
+    for qid, ent in entities.items():
+        name = _first(
+            jmes_path(ent, "labels.en.value")
+            + jmes_path(ent, "aliases.en[].value")
+            + jmes_path(ent, "labels.*.value")
+            + jmes_path(ent, "aliases.*[].value")
+        )
+        name = clean_text_one(name)
+        alt = [clean_text_one(v) for v in (
+            jmes_path(ent, "labels.*.value")
+            + jmes_path(ent, "aliases.*[].value"))]
+        alt = [a for i, a in enumerate(alt) if a and a not in alt[:i]]
+        designer = (
+            jmes_path(ent, "claims.P178[].mainsnak.datavalue.value.id")
+            + jmes_path(ent, "claims.P50[].mainsnak.datavalue.value.id")
+            + jmes_path(ent, "claims.P170[].mainsnak.datavalue.value.id")
+            + jmes_path(ent, "claims.P287[].mainsnak.datavalue.value.id")
+        )
+        bgg_id = _int(_first(
+            jmes_path(ent, "claims.P2339[].mainsnak.datavalue.value")))
+
+        def amount(pid):
+            raw = _first(jmes_path(
+                ent, f"claims.{pid}[].mainsnak.datavalue.value.amount"))
+            return _int(raw.lstrip("+")) if raw else None
+
+        image = _first(jmes_path(ent, "claims.P18[].mainsnak.datavalue.value"))
+        game = {k: None for k in (
+            "alt_name", "year", "description", "artist", "publisher",
+            "video_url", "min_players_rec", "max_players_rec",
+            "min_players_best", "max_players_best", "min_age", "max_age",
+            "min_age_rec", "min_time", "max_time", "category", "mechanic",
+            "cooperative", "compilation", "compilation_of", "family",
+            "expansion", "implementation", "integration", "rank",
+            "add_rank", "num_votes", "avg_rating", "stddev_rating",
+            "bayes_rating", "complexity", "language_dependency",
+            "published_at")}
+        game.update(
+            {
+                "bgg_id": bgg_id,
+                "name": name,
+                "alt_name": alt or None,
+                "designer": designer or None,
+                "url": url_canon,
+                "image_url": [image] if image else None,
+                "min_players": _validate_range(amount("P1872"), 1, None),
+                "max_players": _validate_range(amount("P1873"), 1, None),
+                "scraped_at": SCRAPED_AT,
+            }
+        )
+        games.append(game)
+        spans.append(_span("text", len(spans), text=name))
+        if image:
+            spans.append(_span("image", len(spans), media_ref=image))
+    return {"spans": spans, "games": games, "users": [], "ratings": [],
+            "discovered": []}
+
+
+_SPARQL_NS = "{http://www.w3.org/2005/sparql-results#}"
+
+
+def parse_sparql(url_canon: str, body: str) -> dict:
+    """E5/S8 (wikidata.py:138-176): namespaced bindings → discovered
+    EntityData URLs (priority +1, wikidata.py:108)."""
+    root = ET.fromstring(body)
+    spans, discovered = [], []
+    for uri_el in root.iter(f"{_SPARQL_NS}uri"):
+        uri = uri_el.text or ""
+        m = re.search(r"/entity/Q(\d+)", uri)
+        if not m:
+            continue
+        qid = int(m.group(1))
+        from ..synth import wikidata_entity_url
+
+        discovered.append(
+            {"url": wikidata_entity_url(qid), "priority": 1,
+             "callback_kind": "wikidata_entity"}
+        )
+        spans.append(_span("text", len(spans), text=f"Q{qid}"))
+    return {"spans": spans, "games": [], "users": [], "ratings": [],
+            "discovered": discovered}
+
+
+def parse_rank_history(url_canon: str, body: str) -> dict:
+    """E16 (bgg_json_rankings.py:115-156): {"data": [[ms_epoch, rank]]} →
+    one GameItem per point with published_at = the epoch."""
+    import json as _json
+
+    doc = _json.loads(body)
+    m = re.search(r"objectid=(\d+)", url_canon)
+    gid = int(m.group(1)) if m else None
+    spans, games = [], []
+    for ms, rank in doc.get("data", []):
+        ts = datetime.utcfromtimestamp(ms / 1000.0)
+        game = {k: None for k in (
+            "alt_name", "year", "description", "designer", "artist",
+            "publisher", "image_url", "video_url", "min_players",
+            "max_players", "min_players_rec", "max_players_rec",
+            "min_players_best", "max_players_best", "min_age", "max_age",
+            "min_age_rec", "min_time", "max_time", "category", "mechanic",
+            "cooperative", "compilation", "compilation_of", "family",
+            "expansion", "implementation", "integration", "add_rank",
+            "num_votes", "avg_rating", "stddev_rating", "bayes_rating",
+            "complexity", "language_dependency")}
+        game.update(
+            {
+                "bgg_id": gid,
+                "name": f"game-{gid}",
+                "url": url_canon,
+                "rank": _int(rank),
+                "published_at": ts,
+                "scraped_at": SCRAPED_AT,
+            }
+        )
+        games.append(game)
+        spans.append(
+            _span("text", len(spans), text=f"rank {rank} at {ts.date()}")
+        )
+    return {"spans": spans, "games": games, "users": [], "ratings": [],
+            "discovered": []}
+
+
+def parse_hotness(url_canon: str, body: str) -> dict:
+    """bgg_hotness.py:76-99: 50 ranked items with thumbnails."""
+    root = ET.fromstring(body)
+    spans, games = [], []
+    for item in root.findall("item"):
+        gid = _int(item.get("id"))
+        name_el = item.find("name")
+        thumb_el = item.find("thumbnail")
+        name = clean_text_one(name_el.get("value")) if name_el is not None else None
+        thumb = thumb_el.get("value") if thumb_el is not None else None
+        game = {k: None for k in (
+            "alt_name", "year", "description", "designer", "artist",
+            "publisher", "video_url", "min_players", "max_players",
+            "min_players_rec", "max_players_rec", "min_players_best",
+            "max_players_best", "min_age", "max_age", "min_age_rec",
+            "min_time", "max_time", "category", "mechanic", "cooperative",
+            "compilation", "compilation_of", "family", "expansion",
+            "implementation", "integration", "add_rank", "num_votes",
+            "avg_rating", "stddev_rating", "bayes_rating", "complexity",
+            "language_dependency", "published_at")}
+        game.update(
+            {
+                "bgg_id": gid,
+                "name": name,
+                "url": url_canon,
+                "rank": _int(item.get("rank")),
+                "image_url": [thumb] if thumb else None,
+                "scraped_at": SCRAPED_AT,
+            }
+        )
+        games.append(game)
+        spans.append(_span("text", len(spans), text=name))
+        if thumb:
+            spans.append(_span("image", len(spans), media_ref=thumb))
+    return {"spans": spans, "games": games, "users": [], "ratings": [],
+            "discovered": []}
+
+
 PARSERS = {
     "bgg_browse": parse_browse,
     "bgg_thing": parse_thing,
@@ -359,6 +685,10 @@ PARSERS = {
     "bgg_collection": parse_collection,
     "luding_game": lambda u, b: _parse_simple_game(u, b, "luding"),
     "spielen_game": lambda u, b: _parse_simple_game(u, b, "spielen"),
+    "wikidata_entity": parse_wikidata_entity,
+    "wikidata_sparql": parse_sparql,
+    "bgg_rank_history": parse_rank_history,
+    "bgg_hotness": parse_hotness,
 }
 
 
@@ -369,16 +699,26 @@ def parse_page(url_canon: str, callback_kind: str, body: str) -> dict:
                 "discovered": []}
     try:
         return parser(url_canon, body)
-    except ET.ParseError:
+    except (ET.ParseError, ValueError, KeyError, TypeError):
         # DROPMALFORMED semantics (merge.py:170): bad page → nothing.
+        # (json.JSONDecodeError is a ValueError.)
         return {"spans": [], "games": [], "users": [], "ratings": [],
                 "discovered": []}
 
 
+# Pages per emitted Arrow batch.  One page can explode into ~10^3 item
+# rows (100 rating comments x 10 games, reference page_size bgg.py:124);
+# yielding per input partition would hold the whole partition's nested
+# output in worker memory at once.
+PARSE_CHUNK_PAGES = 64
+
+
 def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: FETCHED batches → PARSED batches."""
+    """mapInPandas kernel: FETCHED batches → PARSED batches (chunked)."""
+    cols = ["url_canon", "doc_id", "spans", "games", "users", "ratings",
+            "discovered"]
+    rows: list[dict] = []
     for pdf in batches:
-        rows = []
         for url_canon, kind, body in zip(
             pdf["url_canon"], pdf["callback_kind"], pdf["body"]
         ):
@@ -402,11 +742,133 @@ def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "discovered": disc,
                 }
             )
-        yield pd.DataFrame(
-            rows,
-            columns=["url_canon", "doc_id", "spans", "games", "users",
-                     "ratings", "discovered"],
+            if len(rows) >= PARSE_CHUNK_PAGES:
+                yield pd.DataFrame(rows, columns=cols)
+                rows = []
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def parse_arrow_batches(batches):
+    """mapInArrow kernel: build the nested output columnar, straight to
+    Arrow.  The dict→pandas-object→Arrow path costs ~3x the parse itself
+    (measured: 1.5s compute vs 4.3s emit for 1.8M nested rows);
+    ``pa.array(list_of_lists_of_dicts, type=list<struct>)`` converts in
+    C++ in one pass.
+    """
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from ..schemas import PARSED
+
+    arrow_schema = to_arrow_schema(PARSED)
+    types = {f.name: f.type for f in arrow_schema}
+
+    def emit(rows: list[dict]) -> pa.RecordBatch:
+        arrays = [
+            pa.array([r["url_canon"] for r in rows], types["url_canon"]),
+            pa.array([r["doc_id"] for r in rows], types["doc_id"]),
+        ]
+        for col in ("spans", "games", "users", "ratings", "discovered"):
+            arrays.append(
+                pa.array([r[col] for r in rows], types[col])
+            )
+        return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    rows: list[dict] = []
+    for rb in batches:
+        urls = rb.column(0).to_pylist()
+        kinds = rb.column(1).to_pylist()
+        bodies = rb.column(2).to_pylist()
+        for url_canon, kind, body in zip(urls, kinds, bodies):
+            parsed = parse_page(url_canon, kind, body)
+            disc = []
+            for d in parsed["discovered"]:
+                canon = _canon_cached(d["url"])
+                if canon:
+                    disc.append({"url": canon, "priority": d["priority"],
+                                 "callback_kind": d["callback_kind"]})
+            rows.append(
+                {
+                    "url_canon": url_canon,
+                    "doc_id": url_canon,
+                    "spans": parsed["spans"],
+                    "games": parsed["games"],
+                    "users": parsed["users"],
+                    "ratings": parsed["ratings"],
+                    "discovered": disc,
+                }
+            )
+            if len(rows) >= PARSE_CHUNK_PAGES:
+                yield emit(rows)
+                rows = []
+    if rows:
+        yield emit(rows)
+
+
+def parse_flat_batches(batches):
+    """mapInArrow kernel emitting the PARSE_FLAT shape: one 'page' row
+    (spans + discovered) plus one flat row per extracted item."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from ..schemas import PARSE_FLAT
+
+    arrow_schema = to_arrow_schema(PARSE_FLAT)
+    types = {f.name: f.type for f in arrow_schema}
+
+    def emit(rows: list[tuple]) -> pa.RecordBatch:
+        cols = list(zip(*rows))
+        names = ["url_canon", "item_kind", "spans", "discovered", "game",
+                 "user", "rating"]
+        arrays = [pa.array(list(c), types[n]) for n, c in zip(names, cols)]
+        return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    rows: list[tuple] = []
+    for rb in batches:
+        urls = rb.column(0).to_pylist()
+        kinds = rb.column(1).to_pylist()
+        bodies = rb.column(2).to_pylist()
+        for url_canon, kind, body in zip(urls, kinds, bodies):
+            parsed = parse_page(url_canon, kind, body)
+            disc = []
+            for d in parsed["discovered"]:
+                canon = _canon_cached(d["url"])
+                if canon:
+                    disc.append({"url": canon, "priority": d["priority"],
+                                 "callback_kind": d["callback_kind"]})
+            rows.append((url_canon, "page", parsed["spans"], disc,
+                         None, None, None))
+            for g in parsed["games"]:
+                rows.append((url_canon, "game", None, None, g, None, None))
+            for u in parsed["users"]:
+                rows.append((url_canon, "user", None, None, None, u, None))
+            for r in parsed["ratings"]:
+                rows.append((url_canon, "rating", None, None, None, None, r))
+            if len(rows) >= PARSE_CHUNK_PAGES * 64:
+                yield emit(rows)
+                rows = []
+    if rows:
+        yield emit(rows)
+
+
+def run_parse_flat(fetched_ok, target_partitions: int | None = None):
+    """fetched (status==200) → PARSE_FLAT DataFrame — the crawl loop's
+    parse stage.  Designed to be *fused into a single write*: no nested
+    page-level arrays for items, so the downstream parquet write and the
+    per-kind filtered reads stay fast at full parallelism."""
+    from ..schemas import PARSE_FLAT
+
+    src = fetched_ok.select("url_canon", "callback_kind", "body")
+    if target_partitions is None:
+        target_partitions = (
+            fetched_ok.sparkSession.sparkContext.defaultParallelism * 2
         )
+    if target_partitions:
+        src = src.repartition(target_partitions)
+    return src.mapInArrow(parse_flat_batches, PARSE_FLAT)
 
 
 def run_parse(fetched_ok, target_partitions: int | None = None):
@@ -426,4 +888,4 @@ def run_parse(fetched_ok, target_partitions: int | None = None):
         )
     if target_partitions:
         src = src.repartition(target_partitions)
-    return src.mapInPandas(parse_batches, PARSED)
+    return src.mapInArrow(parse_arrow_batches, PARSED)

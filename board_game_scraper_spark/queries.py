@@ -664,6 +664,27 @@ def q_array_except_stopwords(spark, sf_dir):
     )
 
 
+def q_commons_rewrite(spark, sf_dir):
+    """Commons image-URL rewrite (C12, pipelines.py:146-184): dbpedia
+    file pages → Special:Redirect; other URLs untouched."""
+    from .functions.text import commons_image_url_col
+
+    part = _t(spark, sf_dir, "part")
+    url = F.when(
+        F.col("p_partkey") % 2 == 0,
+        F.concat(F.lit("http://dbpedia.org/resource/File:Img_"),
+                 F.col("p_partkey").cast("string"), F.lit(".jpg")),
+    ).otherwise(
+        F.concat(F.lit("https://example.com/img/"),
+                 F.col("p_partkey").cast("string"), F.lit(".png"))
+    )
+    return part.select(
+        "p_partkey",
+        url.alias("url"),
+        commons_image_url_col(url).alias("resolved"),
+    )
+
+
 def q_explode_collect(spark, sf_dir):
     """Label-resolution join shape (J4, pipelines.py:87-130): broadcast
     dim join then ordered collect_list back per group."""
@@ -769,6 +790,7 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "quality_full": q_quality_full,
     "array_except_stopwords": q_array_except_stopwords,
+    "commons_rewrite": q_commons_rewrite,
     "explode_collect": q_explode_collect,
     "union_distinct": q_union_distinct,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1136,6 +1158,20 @@ ORACLES = {
                        list_filter(t, x -> x NOT IN {_STOPS_EN}))))[1:5],
                    ',') AS top_tokens
         FROM toks
+    """,
+    "commons_rewrite": """
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 2 = 0
+                    THEN 'http://dbpedia.org/resource/File:Img_'
+                         || p_partkey || '.jpg'
+                    ELSE 'https://example.com/img/' || p_partkey || '.png'
+               END AS url,
+               CASE WHEN p_partkey % 2 = 0
+                    THEN 'https://commons.wikimedia.org/wiki/Special:Redirect/file/Img_'
+                         || p_partkey || '.jpg'
+                    ELSE 'https://example.com/img/' || p_partkey || '.png'
+               END AS resolved
+        FROM part
     """,
     "explode_collect": """
         SELECT n_name,

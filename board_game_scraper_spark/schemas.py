@@ -203,6 +203,7 @@ GAME_ITEM = StructType(
         StructField("bayes_rating", DoubleType(), True),
         StructField("complexity", DoubleType(), True),
         StructField("language_dependency", DoubleType(), True),
+        StructField("published_at", TimestampType(), True),  # rank history E16
         StructField("scraped_at", TimestampType(), True),  # required (items.py:457)
     ]
 )
@@ -255,5 +256,23 @@ PARSED = StructType(
         StructField("users", ArrayType(USER_ITEM), False),
         StructField("ratings", ArrayType(RATING_ITEM), False),
         StructField("discovered", ArrayType(DISCOVERED), False),
+    ]
+)
+
+# Flat parse output: one row per page ('page' rows carry the span
+# sequence + discovered URLs) and one row per extracted item (struct
+# column set per kind).  Deep ArrayType(StructType) pages (PARSED above)
+# anti-scale when cached/written at high parallelism — Spark's columnar
+# writers serialize badly on them (measured 6x at local[32]); this shape
+# keeps every hot column shallow.
+PARSE_FLAT = StructType(
+    [
+        StructField("url_canon", StringType(), False),
+        StructField("item_kind", StringType(), False),  # page|game|user|rating
+        StructField("spans", ArrayType(SPAN), True),
+        StructField("discovered", ArrayType(DISCOVERED), True),
+        StructField("game", GAME_ITEM, True),
+        StructField("user", USER_ITEM, True),
+        StructField("rating", RATING_ITEM, True),
     ]
 )

@@ -116,6 +116,53 @@ def browse_body(page: int, n_browse: int, n_games: int) -> str:
     return f"<html><body><table>{links}</table>{nxt}</body></html>"
 
 
+def _poll_xml(gid: int) -> str:
+    """Polls exercising E6/E7 (bgg.py:52-70,323-373): suggested_numplayers
+    with an 'N+' option, suggested_playerage, language_dependence."""
+    rows = []
+    for np_ in ("1", "2", "3", "4+"):
+        b = _h(f"pb:{gid}:{np_}") % 30
+        r = _h(f"pr:{gid}:{np_}") % 30
+        n = _h(f"pn:{gid}:{np_}") % 30
+        rows.append(
+            f'<results numplayers="{np_}">'
+            f'<result value="Best" numvotes="{b}"/>'
+            f'<result value="Recommended" numvotes="{r}"/>'
+            f'<result value="Not Recommended" numvotes="{n}"/></results>'
+        )
+    total_np = 40 + _h(f"tp:{gid}") % 100
+    ages = "".join(
+        f'<result value="{a}" numvotes="{_h(f"pa:{gid}:{a}") % 20}"/>'
+        for a in (6, 8, 10, 12, 14)
+    )
+    total_age = 30 + _h(f"ta:{gid}") % 50
+    langs = "".join(
+        f'<result level="{l}" value="Level {l}" '
+        f'numvotes="{_h(f"pl:{gid}:{l}") % 15}"/>'
+        for l in (1, 2, 3, 4, 5)
+    )
+    total_lang = 25 + _h(f"tl:{gid}") % 40
+    return (
+        f'<poll name="suggested_numplayers" totalvotes="{total_np}">'
+        + "".join(rows)
+        + "</poll>"
+        f'<poll name="suggested_playerage" totalvotes="{total_age}">'
+        f"<results>{ages}</results></poll>"
+        f'<poll name="language_dependence" totalvotes="{total_lang}">'
+        f"<results>{langs}</results></poll>"
+    )
+
+
+def _family_ranks_xml(gid: int) -> str:
+    """Family ranks exercising E9 (bgg.py:640-650)."""
+    fam = 5000 + gid % 7
+    return (
+        f'<rank type="family" id="{fam}" name="strategygames" '
+        f'friendlyname="Strategy Game Rank" value="{1 + _h(f"fr:{gid}") % 900}" '
+        f'bayesaverage="{round(5 + (_h(f"fb:{gid}") % 300) / 100, 2)}"/>'
+    )
+
+
 def _game_name(gid: int) -> str:
     # Entity-hack case every 7th game: BGG's double-encoded 'Ü'
     # (utils.py:78-86) — parse must decode '&amp;#195;&amp;#156;' to 'Ü'.
@@ -158,9 +205,10 @@ With multiple   spaces.</description>
 <average value="{avg}"/>
 <stddev value="1.5"/>
 <bayesaverage value="{round(avg - 0.3, 2)}"/>
-<ranks><rank type="subtype" id="1" name="boardgame" friendlyname="Board Game Rank" value="{rank}" bayesaverage="{round(avg - 0.3, 2)}"/></ranks>
+<ranks><rank type="subtype" id="1" name="boardgame" friendlyname="Board Game Rank" value="{rank}" bayesaverage="{round(avg - 0.3, 2)}"/>{_family_ranks_xml(gid)}</ranks>
 <averageweight value="{round(1 + (_h(f"cx:{gid}") % 400) / 100, 2)}"/>
 </ratings></statistics>
+{_poll_xml(gid)}
 {comments}
 </item>"""
         )
@@ -193,6 +241,97 @@ def collection_body(name: str, n_games: int) -> str:
         '<?xml version="1.0" encoding="utf-8"?>'
         f'<items totalitems="{len(gids)}">' + items + "</items>"
     )
+
+
+WIKIDATA = "https://www.wikidata.org"
+
+
+def wikidata_entity_url(qid: int) -> str:
+    return f"{WIKIDATA}/wiki/Special:EntityData/Q{qid}.json"
+
+
+def sparql_url(page: int = 1) -> str:
+    params = urlencode(sorted({"query": f"games-page-{page}",
+                               "format": "xml"}.items()))
+    return f"https://query.wikidata.org/sparql?{params}"
+
+
+def rank_history_url(gid: int) -> str:
+    params = urlencode(sorted({"objectid": str(gid),
+                               "rankobjectid": "1"}.items()))
+    return f"{BGG}/api/historicalrankgraph?{params}"
+
+
+def wikidata_entity_body(qid: int, n_games: int) -> str:
+    """EntityData JSON in the shapes wikidata.py:196-256 extracts."""
+    import json
+
+    gid = 1 + qid % max(n_games, 1)
+    ent = {
+        "entities": {
+            f"Q{qid}": {
+                "id": f"Q{qid}",
+                "labels": {
+                    "en": {"value": f"WD Game {qid}"},
+                    "de": {"value": f"WD Spiel {qid}"},
+                },
+                "aliases": {"en": [{"value": f"Alias {qid}"}]},
+                "claims": {
+                    "P2339": [{"mainsnak": {"datavalue": {"value": str(gid)}}}],
+                    "P287": [{"mainsnak": {"datavalue": {"value": {
+                        "id": f"Q{9000 + qid % 50}"}}}}],
+                    "P1872": [{"mainsnak": {"datavalue": {"value": {
+                        "amount": f"+{1 + qid % 3}"}}}}],
+                    "P1873": [{"mainsnak": {"datavalue": {"value": {
+                        "amount": f"+{3 + qid % 5}"}}}}],
+                    "P18": [{"mainsnak": {"datavalue": {
+                        "value": f"Game {qid} box.jpg"}}}],
+                },
+                "sitelinks": {
+                    "enwiki": {"url": f"https://en.wikipedia.org/wiki/Game_{qid}"}
+                },
+            }
+        }
+    }
+    return json.dumps(ent)
+
+
+def sparql_body(page: int, n_entities: int) -> str:
+    """SPARQL XML results (wikidata.py:138-176 shape)."""
+    ns = "http://www.w3.org/2005/sparql-results#"
+    rows = "".join(
+        f'<result><binding name="item">'
+        f"<uri>http://www.wikidata.org/entity/Q{100 + page * 100 + i}</uri>"
+        f"</binding></result>"
+        for i in range(n_entities)
+    )
+    return (
+        f'<?xml version="1.0"?><sparql xmlns="{ns}">'
+        f"<head><variable name=\"item\"/></head>"
+        f"<results>{rows}</results></sparql>"
+    )
+
+
+def rank_history_body(gid: int, n_points: int = 12) -> str:
+    import json
+
+    base = 1577836800000  # 2020-01-01 UTC, fixed
+    data = [
+        [base + i * 86400000, 1 + _h(f"rh:{gid}:{i}") % 2000]
+        for i in range(n_points)
+    ]
+    return json.dumps({"data": data})
+
+
+def hotness_body(ts_label: str, n: int = 50) -> str:
+    """Hotness XML (bgg_hotness.py:76-99 shape; 50 items contract)."""
+    items = "".join(
+        f'<item id="{1 + _h(f"hot:{ts_label}:{i}") % 5000}" rank="{i + 1}">'
+        f'<name value="Hot Game {i + 1}"/>'
+        f"<thumbnail value=\"https://cf.geekdo-images.com/t{i}.jpg\"/></item>"
+        for i in range(n)
+    )
+    return f'<?xml version="1.0"?><items>{items}</items>'
 
 
 def luding_body(i: int) -> str:
@@ -281,6 +420,47 @@ def corpus(
     return pd.DataFrame(seeds), pages_df
 
 
+def extended_corpus(n_entities: int = 20, n_rank_histories: int = 10,
+                    n_games: int = 300) -> pd.DataFrame:
+    """Extra page types (wikidata SPARQL + EntityData, rank history) —
+    kept out of the default corpus so the crawl-equality tests' simulator
+    stays minimal; parser/crawl tests opt in."""
+    pages = []
+
+    def add(url, ctype, body):
+        canon = canonicalize_one(url)
+        pages.append({
+            "url_canon": canon, "status": 200, "content_type": ctype,
+            "body": body, "latency_ms": latency_for(canon),
+        })
+
+    add(sparql_url(1), "application/sparql-results+xml",
+        sparql_body(1, n_entities))
+    for i in range(n_entities):
+        qid = 100 + 100 + i  # page-1 ids
+        add(wikidata_entity_url(qid), "application/json",
+            wikidata_entity_body(qid, n_games))
+    for g in range(1, n_rank_histories + 1):
+        add(rank_history_url(g), "application/json", rank_history_body(g))
+    return pd.DataFrame(pages)
+
+
+def write_hotness_archive(dir_path, n_files: int = 3) -> list[str]:
+    """Archived hotness XML files (S9 local replay,
+    bgg_hotness.py:43-74: date comes from the file name)."""
+    from pathlib import Path
+
+    out = []
+    d = Path(dir_path)
+    d.mkdir(parents=True, exist_ok=True)
+    for i in range(n_files):
+        label = f"2024010{i + 1}000000"
+        p = d / f"hotness-{label}.xml"
+        p.write_text(hotness_body(label))
+        out.append(str(p))
+    return out
+
+
 def callback_kind_for(url_canon: str) -> str:
     """Dispatch column: which parser handles this URL (the reference's
     Request.callback, bgg.py:284-291, as data)."""
@@ -292,6 +472,12 @@ def callback_kind_for(url_canon: str) -> str:
         return "bgg_user"
     if "/xmlapi2/collection" in url_canon:
         return "bgg_collection"
+    if "historicalrankgraph" in url_canon:
+        return "bgg_rank_history"
+    if "query.wikidata.org/sparql" in url_canon:
+        return "wikidata_sparql"
+    if "/wiki/Special:EntityData/" in url_canon:
+        return "wikidata_entity"
     if "luding.org" in url_canon:
         return "luding_game"
     if "spielen.de" in url_canon:
