@@ -68,6 +68,9 @@ class CrawlEngine:
         use_bloom: bool = True,
         record_schedule: bool = False,
         write_coalesce: int | None = 4,
+        obey_robots: bool = False,
+        adaptive_politeness: bool = False,
+        track_last_scraped: bool = False,
     ):
         self.spark = spark
         self.root = Path(root)
@@ -81,8 +84,14 @@ class CrawlEngine:
         # large rounds pass None (let AQE size the output).
         self.write_coalesce = write_coalesce
         t = lambda name, schema: SnapshotTable(spark, self.root / name, schema)
+        self.obey_robots = obey_robots
+        self.adaptive_politeness = adaptive_politeness
+        self.track_last_scraped = track_last_scraped
         self.frontier = t("frontier", schemas.FRONTIER)
         self.seen = t("url_seen", schemas.URL_SEEN)
+        self.robots = t("robots", schemas.ROBOTS)
+        self.host_state = t("host_state", schemas.HOST_STATE)
+        self.last_scraped = t("last_scraped", schemas.LAST_SCRAPED)
         self.documents = t("documents", schemas.DOCUMENTS)
         self.games = t("games", schemas.GAME_ITEM)
         self.users = t("users", schemas.USER_ITEM)
@@ -147,14 +156,106 @@ class CrawlEngine:
             self.bloom.add(seen_rows)
         return n
 
+    # --------------------------------------------------------- opt-in F4/F5/F11
+
+    def _refresh_robots(self, frontier: DataFrame, round_no: int) -> None:
+        """Fetch robots.txt for hosts newly present in the frontier (F5;
+        one fetch per host, cached in the robots table — Scrapy's
+        robots cache, settings.py:144)."""
+        from .robots import robots_table
+
+        known = self.robots.read().select("host")
+        needed = (
+            frontier.select("host").distinct()
+            .join(known, "host", "left_anti")
+            .withColumn(
+                "url_canon",
+                F.concat(F.lit("https://"), F.col("host"),
+                         F.lit("/robots.txt")),
+            )
+        )
+        if needed.isEmpty():
+            return
+        fetched = needed.join(self.pages, "url_canon", "left")
+        rows = robots_table(fetched.select("host", "body"), round_no)
+        # hosts with no robots.txt page get an empty rule set (allowed,
+        # Scrapy's 404 default) — stored so we never refetch them
+        self.robots.append(rows, coalesce=1)
+
+    def _current_budgets(self) -> dict | None:
+        """F4: politeness budgets from the adaptive host_state table."""
+        if not self.adaptive_politeness:
+            return self.budgets
+        rows = self.host_state.read().collect()
+        if not rows:
+            return self.budgets
+        from .frontier import HOST_BUDGETS
+
+        merged = dict(self.budgets or HOST_BUDGETS)
+        for r in rows:
+            merged[r["host"]] = (float(r["delay_sec"]),
+                                 int(r["concurrency"]))
+        return merged
+
+    def requeue(self, urls: DataFrame, round_no: int,
+                window_rounds: int = 6) -> int:
+        """Re-crawl already-seen URLs (F11 + extensions.py:148-151
+        dont_filter): insert unless successfully fetched within the last
+        ``window_rounds`` rounds (PREVENT_RESCRAPE_FOR analog).
+
+        ``urls``: DataFrame with a raw ``url`` column (+ optional
+        priority).  Requires track_last_scraped=True.
+        """
+        from ..functions.canon import canonicalize_url
+
+        c = urls.withColumn("_c", canonicalize_url(F.col("url")))
+        prio = (F.col("priority") if "priority" in urls.columns
+                else F.lit(1))
+        cand = c.where(F.col("_c.url_canon").isNotNull()).select(
+            F.col("_c.url_canon").alias("url"),
+            F.col("_c.url_canon").alias("url_canon"),
+            F.xxhash64("_c.url_canon").alias("url_hash"),
+            F.col("_c.host").alias("host"),
+            prio.cast("int").alias("priority"),
+            F.lit(round_no).alias("discovery_round"),
+            F.lit(0).cast("long").alias("discovery_seq"),
+            callback_kind_col(F.col("_c.url_canon")).alias("callback_kind"),
+            F.lit(0).alias("attempt"),
+            F.lit(round_no).alias("not_before_round"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
+        )
+        recent = self.last_scraped.read().where(
+            F.col("round") > round_no - window_rounds
+        ).select("url_hash")
+        fresh = cand.join(recent, "url_hash", "left_anti")
+        # also drop anything already pending in the frontier
+        frontier = self.frontier.read()
+        fresh = fresh.join(frontier.select("url_hash"), "url_hash",
+                           "left_anti").cache()
+        n = fresh.count()
+        if n:
+            self.frontier.overwrite(
+                frontier.unionByName(fresh),
+                lineage={"round": round_no, "stage": "requeue"},
+                coalesce=self.write_coalesce,
+            )
+        fresh.unpersist()
+        return n
+
     # ----------------------------------------------------------------- round
 
     def run_round(self, round_no: int) -> dict:
         """One BSP superstep.  Returns the round's metric dict."""
-        frontier = self.frontier.read().cache()
+        frontier = self.frontier.read()
+        if self.obey_robots:
+            from .robots import filter_allowed
+
+            self._refresh_robots(frontier, round_no)
+            frontier = filter_allowed(frontier, self.robots.read())
+        frontier = frontier.cache()
 
         scheduled = schedule(
-            frontier, round_no, self.window_sec, self.budgets,
+            frontier, round_no, self.window_sec, self._current_budgets(),
             self.salt_buckets,
         ).cache()
         n_scheduled = scheduled.count()
@@ -301,6 +402,24 @@ class CrawlEngine:
             self.ratings.append(ratings, lineage=lineage,
                                 coalesce=_coalesce_for(stats["ratings"]))
         self.metrics.append(metrics_rows, lineage=lineage, coalesce=self.write_coalesce)
+        if self.adaptive_politeness:
+            from .frontier import update_host_state
+
+            prev_state = self.host_state.read()
+            updated = update_host_state(prev_state, fetched, round_no,
+                                        self.budgets)
+            merged = prev_state.join(
+                updated.select("host"), "host", "left_anti"
+            ).unionByName(updated)
+            self.host_state.overwrite(merged, lineage=lineage, coalesce=1)
+        if self.track_last_scraped:
+            self.last_scraped.append(
+                fetched.where(F.col("status") == 200).select(
+                    "url_hash", "url_canon",
+                    F.lit(round_no).alias("round"),
+                ),
+                lineage=lineage, coalesce=self.write_coalesce,
+            )
         n_fresh = fresh.count() if n_disc else 0
         if n_fresh:
             seen_delta = fresh.select(

@@ -355,6 +355,15 @@ def spielen_body(i: int) -> str:
 # Corpus assembly
 # ---------------------------------------------------------------------------
 
+def robots_body(host: str, disallow: tuple[str, ...] = ("/private/",)) -> str:
+    rules = "\n".join(f"Disallow: {p}" for p in disallow)
+    return f"# robots for {host}\nUser-agent: *\n{rules}\n"
+
+
+def robots_url(host: str) -> str:
+    return f"https://{host}/robots.txt"
+
+
 def corpus(
     n_browse: int = 25,
     n_users: int = 50,
@@ -392,6 +401,12 @@ def corpus(
     for i in range(1, n_other + 1):
         add(luding_url(i), "text/html", luding_body(i))
         add(spielen_url(i), "text/html", spielen_body(i))
+    # robots.txt per host (F5); default rules disallow only /private/,
+    # which no crawl URL uses, so the baseline crawl is unaffected.
+    for host in ("boardgamegeek.com", "www.luding.org",
+                 "gesellschaftsspiele.spielen.de"):
+        canon = canonicalize_one(robots_url(host))
+        pages[canon] = (200, "text/plain", robots_body(host))
 
     pages_df = pd.DataFrame(
         [

@@ -1,0 +1,98 @@
+"""Opt-in engine features: robots obedience (F5), adaptive politeness
+(F4), rescrape/requeue (F11)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from board_game_scraper_spark import schemas, synth
+from board_game_scraper_spark.plans.crawl import CrawlEngine
+
+
+def _mk(spark, pages_pd, tmp, **kw):
+    pages = spark.createDataFrame(pages_pd, schemas.PAGES)
+    return CrawlEngine(spark, tmp, pages, **kw)
+
+
+def test_robots_blocks_disallowed(spark, tmp_path):
+    """A host whose robots.txt disallows the crawl path gets dropped."""
+    _, pages_pd = synth.corpus(n_browse=3, n_users=5, n_other=3)
+    # rewrite the luding robots to disallow everything under /cgi-bin/
+    mask = pages_pd.url_canon == "https://www.luding.org/robots.txt"
+    pages_pd.loc[mask, "body"] = synth.robots_body(
+        "www.luding.org", ("/cgi-bin/",))
+    seeds_pd = pd.DataFrame(
+        [{"url": synth.browse_url(1), "source": "bgg", "priority": 0},
+         {"url": synth.luding_url(1), "source": "luding", "priority": 0},
+         {"url": synth.luding_url(2), "source": "luding", "priority": 0}])
+    seeds = spark.createDataFrame(seeds_pd, schemas.SEEDS)
+    eng = _mk(spark, pages_pd, tmp_path / "rb", use_bloom=False,
+              obey_robots=True, record_schedule=True)
+    eng.seed(seeds)
+    eng.crawl(2)
+    scheduled_hosts = {
+        h for log in eng.schedule_log.values() for h in log
+    }
+    assert "www.luding.org" not in scheduled_hosts
+    assert "boardgamegeek.com" in scheduled_hosts
+    # robots table has rows for every frontier host (incl. allowed ones)
+    robots_hosts = {r["host"] for r in eng.robots.read().collect()}
+    assert {"www.luding.org", "boardgamegeek.com"} <= robots_hosts
+
+
+def test_robots_allows_by_default(spark, tmp_path):
+    """Default corpus robots (disallow /private/ only) changes nothing."""
+    seeds_pd, pages_pd = synth.corpus(n_browse=3, n_users=5, n_other=3)
+    seeds = spark.createDataFrame(seeds_pd, schemas.SEEDS)
+    a = _mk(spark, pages_pd, tmp_path / "a", use_bloom=False,
+            obey_robots=True)
+    a.seed(seeds)
+    ra = a.crawl(2)
+    b = _mk(spark, pages_pd, tmp_path / "b", use_bloom=False,
+            obey_robots=False)
+    b.seed(seeds)
+    rb = b.crawl(2)
+    assert [m["scheduled"] for m in ra] == [m["scheduled"] for m in rb]
+
+
+def test_adaptive_politeness_backoff(spark, tmp_path):
+    """429-heavy host doubles its delay → smaller budget next round."""
+    seeds_pd, pages_pd = synth.corpus(n_browse=5, n_users=8, n_other=3)
+    seeds = spark.createDataFrame(seeds_pd, schemas.SEEDS)
+    eng = _mk(spark, pages_pd, tmp_path / "ap", use_bloom=False,
+              adaptive_politeness=True)
+    eng.seed(seeds)
+    eng.run_round(1)
+    state = {r["host"]: r for r in eng.host_state.read().collect()}
+    assert "boardgamegeek.com" in state
+    # synthetic corpus always contains some 429/503 on bgg at this size
+    bgg = state["boardgamegeek.com"]
+    assert bgg["delay_sec"] >= 5.0
+    assert bgg["ewma_latency_ms"] is not None
+    # budgets for the next round reflect the table
+    budgets = eng._current_budgets()
+    assert budgets["boardgamegeek.com"][0] == bgg["delay_sec"]
+
+
+def test_requeue_respects_rescrape_window(spark, tmp_path):
+    seeds_pd, pages_pd = synth.corpus(n_browse=3, n_users=5, n_other=2)
+    seeds = spark.createDataFrame(seeds_pd, schemas.SEEDS)
+    eng = _mk(spark, pages_pd, tmp_path / "rq", use_bloom=False,
+              track_last_scraped=True)
+    eng.seed(seeds)
+    eng.crawl(3)
+    last = eng.last_round()
+    ok_urls = [r["url_canon"] for r in
+               eng.last_scraped.read().limit(3).collect()]
+    assert ok_urls
+    urls = spark.createDataFrame([(u,) for u in ok_urls], "url string")
+    # within the window → suppressed (extensions.py:137-145)
+    assert eng.requeue(urls, last + 1, window_rounds=10) == 0
+    # window elapsed → re-inserted despite being in the seen set
+    n = eng.requeue(urls, last + 1, window_rounds=0)
+    assert n == len(ok_urls)
+    pending = {r["url_canon"] for r in eng.frontier.read().collect()}
+    assert set(ok_urls) <= pending
+    # and they get scheduled + fetched again on the next round
+    m = eng.run_round(last + 1)
+    assert m["scheduled"] >= len(ok_urls)
