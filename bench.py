@@ -57,12 +57,21 @@ def run_frontier_replay(spark, n_browse: int, n_users: int, n_other: int,
     seeds_pd, pages_pd = synth.corpus(
         n_browse=n_browse, n_users=n_users, n_other=n_other
     )
-    seeds = spark.createDataFrame(seeds_pd, schemas.SEEDS)
-    pages = spark.createDataFrame(pages_pd, schemas.PAGES).cache()
-    pages.count()
-
     root = tempfile.mkdtemp(prefix="bench_crawl_")
+    data = tempfile.mkdtemp(prefix="bench_corpus_")
     try:
+        # Materialize the synthetic corpus to parquet via pyarrow (no
+        # Spark job at all), then read it back: every crawl stage scans
+        # parquet files instead of carrying the corpus in 68 MB task
+        # closures (VERDICT r01 "what's wrong" #1 — the dominant
+        # anti-scaling source).
+        synth.write_corpus_parquet(pages_pd, seeds_pd, data)
+        pages = spark.read.schema(schemas.PAGES).parquet(
+            data + "/pages"
+        ).cache()
+        n_pages = pages.count()
+        seeds = spark.read.schema(schemas.SEEDS).parquet(data + "/seeds")
+
         eng = CrawlEngine(spark, root, pages, window_sec=window_sec)
         t0 = time.perf_counter()
         eng.seed(seeds)
@@ -70,8 +79,9 @@ def run_frontier_replay(spark, n_browse: int, n_users: int, n_other: int,
         dt = time.perf_counter() - t0
         urls = sum(m.get("scheduled", 0) + m.get("fetched", 0) for m in metrics)
         docs = sum(m.get("parsed_items", 0) for m in metrics)
+        pages.unpersist()
         return {
-            "pages_corpus": int(pages.count()),
+            "pages_corpus": int(n_pages),
             "rounds": len(metrics),
             "urls": int(urls),
             "parsed_items": int(docs),
@@ -80,7 +90,7 @@ def run_frontier_replay(spark, n_browse: int, n_users: int, n_other: int,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
-        pages.unpersist()
+        shutil.rmtree(data, ignore_errors=True)
 
 
 def main() -> None:

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import schemas
@@ -71,6 +71,7 @@ class CrawlEngine:
         obey_robots: bool = False,
         adaptive_politeness: bool = False,
         track_last_scraped: bool = False,
+        compact_every: int = 8,
     ):
         self.spark = spark
         self.root = Path(root)
@@ -83,6 +84,9 @@ class CrawlEngine:
         # writes cost ~3s each in task-commit overhead.  On a cluster with
         # large rounds pass None (let AQE size the output).
         self.write_coalesce = write_coalesce
+        # Frontier commits are merge-on-read deltas (O(scheduled+discovered)
+        # per round, not O(frontier)); fold them back every N rounds.
+        self.compact_every = compact_every
         t = lambda name, schema: SnapshotTable(spark, self.root / name, schema)
         self.obey_robots = obey_robots
         self.adaptive_politeness = adaptive_politeness
@@ -143,10 +147,12 @@ class CrawlEngine:
             )
             .where(F.col("_rn") == 1)
             .drop("_rn")
-        ).cache()
-        n = rows.count()
+        )
+        obs = Observation()
+        rows = rows.observe(obs, F.count(F.lit(1)).alias("n")).cache()
         self.frontier.overwrite(rows, lineage={"round": 0, "stage": "seed"},
                                 coalesce=self.write_coalesce)
+        n = int(obs.get["n"] or 0)
         seen_rows = rows.select(
             "url_hash", "url_canon", F.lit(0).alias("first_round")
         )
@@ -234,8 +240,10 @@ class CrawlEngine:
                            "left_anti").cache()
         n = fresh.count()
         if n:
-            self.frontier.overwrite(
-                frontier.unionByName(fresh),
+            # Delta append: only the requeued rows hit disk, never the
+            # full frontier (merge-on-read — tables.py).
+            self.frontier.delta_commit(
+                appends=fresh,
                 lineage={"round": round_no, "stage": "requeue"},
                 coalesce=self.write_coalesce,
             )
@@ -254,26 +262,18 @@ class CrawlEngine:
             frontier = filter_allowed(frontier, self.robots.read())
         frontier = frontier.cache()
 
-        scheduled = schedule(
-            frontier, round_no, self.window_sec, self._current_budgets(),
-            self.salt_buckets,
-        ).cache()
-        n_scheduled = scheduled.count()
-        if self.record_schedule and n_scheduled:
-            log: dict[str, list[str]] = {}
-            for row in scheduled.select(
-                "host", "sched_rank", "url_canon"
-            ).orderBy("host", "sched_rank").collect():
-                log.setdefault(row["host"], []).append(row["url_canon"])
-            self.schedule_log[round_no] = log
-        if n_scheduled == 0:
-            frontier.unpersist()
-            return {"round": round_no, "scheduled": 0, "fetched": 0,
-                    "parsed_items": 0, "discovered": 0, "done": True}
-
-        # Remainder stays pending (anti-join on hash: scheduled rows leave).
-        remainder = frontier.join(
-            scheduled.select("url_hash"), "url_hash", "left_anti"
+        # One Spark job materializes schedule→fetch→parse→scratch; every
+        # count the driver needs rides along as an Observation on that
+        # job (VERDICT r01 "what's wrong" #3: driver-side count()s were
+        # a large share of the per-round serial floor).
+        obs_sched = Observation()
+        scheduled = (
+            schedule(
+                frontier, round_no, self.window_sec,
+                self._current_budgets(), self.salt_buckets,
+            )
+            .observe(obs_sched, F.count(F.lit(1)).alias("n"))
+            .cache()
         )
 
         # Fetch plan: the full (with-body) plan feeds ONLY the fused
@@ -289,22 +289,40 @@ class CrawlEngine:
         # anti-scales 6x at high parallelism — see schemas.PARSE_FLAT.)
         import shutil as _shutil
 
+        obs_items = Observation()
+        kind = lambda k: F.sum(
+            (F.col("item_kind") == k).cast("long")
+        ).alias(k)
         scratch = self.root / "scratch" / f"round-{round_no}"
-        run_parse_flat(ok).write.mode("overwrite").parquet(str(scratch))
+        run_parse_flat(ok).observe(
+            obs_items, kind("page"), kind("game"), kind("user"),
+            kind("rating"),
+        ).write.mode("overwrite").parquet(str(scratch))
+
+        n_scheduled = int(obs_sched.get["n"] or 0)
+        if self.record_schedule and n_scheduled:
+            log: dict[str, list[str]] = {}
+            for row in scheduled.select(
+                "host", "sched_rank", "url_canon"
+            ).orderBy("host", "sched_rank").collect():
+                log.setdefault(row["host"], []).append(row["url_canon"])
+            self.schedule_log[round_no] = log
+        if n_scheduled == 0:
+            frontier.unpersist()
+            scheduled.unpersist()
+            _shutil.rmtree(scratch, ignore_errors=True)
+            return {"round": round_no, "scheduled": 0, "fetched": 0,
+                    "parsed_items": 0, "discovered": 0, "done": True}
+
         flat = self.spark.read.schema(schemas.PARSE_FLAT).parquet(
             str(scratch)
         )
-        kind_counts = {
-            r["item_kind"]: r["n"]
-            for r in flat.groupBy("item_kind")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        n_ok = int(kind_counts.get("page", 0))
+        parse_counts = obs_items.get
+        n_ok = int(parse_counts["page"] or 0)
         stats = {
-            "games": int(kind_counts.get("game", 0)),
-            "users": int(kind_counts.get("user", 0)),
-            "ratings": int(kind_counts.get("rating", 0)),
+            "games": int(parse_counts["game"] or 0),
+            "users": int(parse_counts["user"] or 0),
+            "ratings": int(parse_counts["rating"] or 0),
         }
         n_items = stats["games"] + stats["users"] + stats["ratings"]
 
@@ -318,6 +336,7 @@ class CrawlEngine:
         ).where(F.size("spans") > 0)
 
         # --- discoveries → dedup vs seen → fresh frontier rows -------------
+        obs_disc = Observation()
         disc = (
             pages_rows.select(F.explode("discovered").alias("d"))
             .select(
@@ -335,8 +354,8 @@ class CrawlEngine:
                 "host",
                 F.parse_url(F.col("url_canon"), F.lit("HOST")),
             )
+            .observe(obs_disc, F.count(F.lit(1)).alias("n"))
         ).cache()
-        n_disc = disc.count()
         fresh = filter_unseen(disc, self.seen.read(), self.bloom).select(
             F.col("url_canon").alias("url"),
             "url_canon",
@@ -350,8 +369,10 @@ class CrawlEngine:
             F.lit(round_no + 1).alias("not_before_round"),
             F.lit(None).cast("map<string,string>").alias("meta"),
         ).cache()
-
-        new_frontier = remainder.unionByName(retries).unionByName(fresh)
+        # Single materializer for the discovery branch: fills the disc +
+        # fresh caches and the obs_disc observation in one job.
+        n_fresh = fresh.count() if n_ok else 0
+        n_disc = int(obs_disc.get["n"] or 0) if n_ok else 0
 
         # --- per-host metrics (A5; north_rule lineage requirement) ---------
         host_metrics = (
@@ -420,7 +441,6 @@ class CrawlEngine:
                 ),
                 lineage=lineage, coalesce=self.write_coalesce,
             )
-        n_fresh = fresh.count() if n_disc else 0
         if n_fresh:
             seen_delta = fresh.select(
                 "url_hash", "url_canon",
@@ -429,8 +449,19 @@ class CrawlEngine:
             self.seen.append(seen_delta, lineage=lineage, coalesce=self.write_coalesce)
             if self.bloom is not None:
                 self.bloom.add(seen_delta)
-        self.frontier.overwrite(
-            new_frontier,
+        # Frontier delta (merge-on-read): append retries+fresh, equality-
+        # delete the scheduled rows.  IO is O(scheduled+discovered) per
+        # round — the 10^10-row frontier is never rewritten (VERDICT r01
+        # #2).  The key triple (url_hash, attempt, discovery_round)
+        # uniquely identifies a frontier row generation: a retry re-enters
+        # with attempt+1 and a requeue with a new discovery_round, so old
+        # delete tuples can never shadow newly appended rows.
+        self.frontier.delta_commit(
+            appends=retries.unionByName(fresh),
+            deletes=scheduled.select(
+                "url_hash", "attempt", "discovery_round"
+            ),
+            delete_keys=["url_hash", "attempt", "discovery_round"],
             lineage=lineage,
             metrics={
                 "scheduled": n_scheduled,
@@ -439,7 +470,13 @@ class CrawlEngine:
                 "fresh": n_fresh,
                 "items": n_items,
             },
+            coalesce=self.write_coalesce,
         )
+        if self.compact_every and round_no % self.compact_every == 0:
+            self.frontier.compact(
+                lineage={"round": round_no, "stage": "compact"},
+                coalesce=self.write_coalesce,
+            )
 
         for df in (frontier, scheduled, fetched, disc, fresh):
             df.unpersist()

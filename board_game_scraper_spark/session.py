@@ -21,6 +21,15 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE's runtime empty-relation propagation ELIMINATES CollectMetrics
+    # (df.observe) nodes above a 0-row shuffle stage, making
+    # Observation.get crash (toPyRow assertion, Spark 4.1.2) — measured
+    # in this repo when a crawl round discovers no new URLs.  The crawl
+    # engine's per-round metrics ride on observations (one job instead of
+    # five driver count()s per round), so keep the rule excluded; empty
+    # stages are cheap anyway.
+    "spark.sql.adaptive.optimizer.excludedRules":
+        "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation",
     # Arrow transfer for pandas UDFs / mapInPandas (the parse/fetch stages).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

@@ -32,8 +32,7 @@ GEN = r"""
 import sys, time
 sys.path.insert(0, {repo!r})
 import pandas as pd
-from board_game_scraper_spark.session import get_spark
-from board_game_scraper_spark import synth, schemas
+from board_game_scraper_spark import synth
 
 scale = float(sys.argv[1]); out = sys.argv[2]
 t0 = time.time()
@@ -42,11 +41,7 @@ _, pages_pd = synth.corpus(
     n_other=int(150*scale), comments_per_game=100)
 seeds_pd = pd.DataFrame(
     {{"url": pages_pd.url_canon, "source": "replay", "priority": 0}})
-spark = get_spark("gen", master="local[8]", shuffle_partitions=8)
-spark.createDataFrame(pages_pd, schemas.PAGES).repartition(64) \
-    .write.mode("overwrite").parquet(out + "/pages")
-spark.createDataFrame(seeds_pd, schemas.SEEDS).repartition(8) \
-    .write.mode("overwrite").parquet(out + "/seeds")
+synth.write_corpus_parquet(pages_pd, seeds_pd, out, n_files=64)
 print("GEN " + str(len(pages_pd)) + " pages in %.0fs" % (time.time()-t0))
 """
 
