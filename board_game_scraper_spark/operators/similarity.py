@@ -123,11 +123,15 @@ def ivf_assign(
     max_by over cosine) → (id, vec, list_id).  The write side of an IVF
     index; persist partitioned by list_id for partition-pruned probes."""
     joined = vectors.crossJoin(F.broadcast(centroids))
-    sim = cosine(F.col(vec_col), F.col("cvec"))
+    sim = F.round(cosine(F.col(vec_col), F.col("cvec")), 9)
+    # tie-break on list_id so assignment is total-ordered (needed for the
+    # cross-engine oracle and for idempotent re-assignment)
     return (
         joined.groupBy(id_col)
         .agg(
-            F.max_by(F.col("list_id"), sim).alias("list_id"),
+            F.max_by(F.col("list_id"),
+                     F.struct(sim.alias("s"),
+                              F.col("list_id").alias("l"))).alias("list_id"),
             F.first(vec_col).alias(vec_col),
         )
     )
@@ -138,24 +142,41 @@ def make_centroids(
     nlist: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strat: str = "hash",
 ) -> DataFrame:
-    """Deterministic coarse centroids: nlist vectors picked by
-    pmod(xxhash64(id), N) stratification, refined with one mean step."""
+    """Deterministic coarse centroids: nlist seed vectors picked by
+    stratified sampling (``strat='hash'``: pmod(xxhash64(id), N) — the
+    production default, decorrelates from id assignment order;
+    ``strat='id'``: pmod(id, N) — SQL-expressible, used by the DuckDB
+    oracle), refined with one Lloyd mean step.
+
+    The mean is computed over 1e-6-quantized components (integer sums):
+    float summation order differs between engines/partitionings, so an
+    exact integer sum is the only way the centroid — and therefore the
+    bucket assignment — is bit-reproducible.  Quantization error 1e-6 is
+    noise for a coarse quantizer."""
+    if strat == "hash":
+        list_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nlist))
+    else:
+        list_of = F.pmod(F.col(id_col), F.lit(nlist))
     seeds = (
-        vectors.withColumn("list_id",
-                           F.pmod(F.xxhash64(F.col(id_col)), F.lit(nlist)))
+        vectors.withColumn("list_id", list_of.cast("long"))
         .groupBy("list_id")
         .agg(F.min_by(F.col(vec_col), F.col(id_col)).alias("cvec"))
     )
     assigned = ivf_assign(vectors, seeds, id_col, vec_col)
-    dim_df = vectors.select(F.size(vec_col).alias("d")).limit(1)
-    # one Lloyd step: element-wise mean per list (posexplode + re-agg)
+    # one Lloyd step: element-wise quantized mean per list
     exploded = assigned.select(
         "list_id", F.posexplode(vec_col).alias("pos", "v")
     )
     means = (
         exploded.groupBy("list_id", "pos")
-        .agg(F.avg("v").alias("m"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("v").cast("double") * 1e6).cast("long"))
+                / F.count(F.lit(1)) / F.lit(1e6)
+            ).alias("m")
+        )
         .groupBy("list_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(
@@ -180,8 +201,10 @@ def ivf_topk(
     assigned = ivf_assign(vectors, centroids, id_col, vec_col)
     qlists = (
         centroids.crossJoin(F.broadcast(query))
-        .select("list_id", cosine(F.col("cvec"), F.col("qvec")).alias("sim"))
-        .orderBy(F.col("sim").desc())
+        .select("list_id",
+                F.round(cosine(F.col("cvec"), F.col("qvec")), 9)
+                .alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("list_id").asc())
         .limit(nprobe)
         .select("list_id")
     )

@@ -30,14 +30,26 @@ from ..sources.fetch import fetch_from_table
 from ..tables import SnapshotTable
 from .frontier import RETRYABLE, retry_rows, schedule
 from .parse import run_parse, run_parse_flat
-from .seen import ShardedBloom, filter_unseen
+from .seen import SnapshotBloom, filter_unseen
 
 
 def callback_kind_col(url_canon):
     """JVM-side parse-callback dispatch (synth.callback_kind_for as a
     CASE chain — no Python UDF in the seed path)."""
     return (
-        F.when(url_canon.contains("/browse/boardgame"), F.lit("bgg_browse"))
+        # archived snapshots + legacy layouts → the rankings spider
+        # (bgg_rankings.py:121-128 bgg_paths); checked before the generic
+        # /browse/boardgame → bgg_browse rule
+        F.when(url_canon.contains("web.archive.org"), F.lit("bgg_rankings"))
+        .when(
+            url_canon.contains("rankbrowse.php3")
+            | url_canon.contains("browser.php")
+            | url_canon.contains("top50")
+            | url_canon.contains("topn.php3"),
+            F.lit("bgg_rankings"),
+        )
+        .when(url_canon.contains("/geeklist/"), F.lit("bgg_geeklist"))
+        .when(url_canon.contains("/browse/boardgame"), F.lit("bgg_browse"))
         .when(url_canon.contains("/xmlapi2/thing"), F.lit("bgg_thing"))
         .when(url_canon.contains("/xmlapi2/user"), F.lit("bgg_user"))
         .when(url_canon.contains("/xmlapi2/collection"),
@@ -72,6 +84,7 @@ class CrawlEngine:
         adaptive_politeness: bool = False,
         track_last_scraped: bool = False,
         compact_every: int = 8,
+        use_ids_seen: bool = False,
     ):
         self.spark = spark
         self.root = Path(root)
@@ -91,7 +104,14 @@ class CrawlEngine:
         self.obey_robots = obey_robots
         self.adaptive_politeness = adaptive_politeness
         self.track_last_scraped = track_last_scraped
+        # F7: item-level id dedup (bgg.py:229-242,256-261 _ids_seen) —
+        # opt-in because it re-packs API batches at the engine level
+        # (ids discovered on overlapping pages fetch once even when the
+        # page-local batch URLs differ), which changes the URL stream the
+        # order-equality simulator pins.
+        self.use_ids_seen = use_ids_seen
         self.frontier = t("frontier", schemas.FRONTIER)
+        self.ids_seen = t("ids_seen", schemas.IDS_SEEN)
         self.seen = t("url_seen", schemas.URL_SEEN)
         self.robots = t("robots", schemas.ROBOTS)
         self.host_state = t("host_state", schemas.HOST_STATE)
@@ -101,8 +121,10 @@ class CrawlEngine:
         self.users = t("users", schemas.USER_ITEM)
         self.ratings = t("ratings", schemas.RATING_ITEM)
         self.metrics = t("metrics", schemas.METRICS)
+        # Cluster-safe bloom sidecar: bitmaps are snapshot-table rows
+        # (cogroup applyInPandas), not executor-local files.
         self.bloom = (
-            ShardedBloom(self.root / "bloom", n_shards=bloom_shards)
+            SnapshotBloom(spark, self.root / "bloom", n_shards=bloom_shards)
             if use_bloom
             else None
         )
@@ -250,17 +272,104 @@ class CrawlEngine:
         fresh.unpersist()
         return n
 
+    # ------------------------------------------------------------- F7 ids_seen
+
+    def _rebatch_thing_ids(self, disc: DataFrame, round_no: int) -> DataFrame:
+        """F7 (bgg.py:229-242,256-261): explode discovered thing-API
+        batch URLs back to game ids, drop ids ever batched before
+        (ids_seen left_anti), re-pack survivors into fresh ≤10-id batch
+        URLs.  Ids rediscovered on overlapping pages fetch exactly once
+        even when the page-local batch URLs differ.
+
+        Batches are windowed per 10k-id block (partition-parallel — a
+        global sort window would bottleneck one task at 10^10 ids);
+        composition within a block is sorted like bgg.py:244-249."""
+        things = disc.where(F.col("callback_kind") == "bgg_thing")
+        others = disc.where(F.col("callback_kind") != "bgg_thing")
+        ids = (
+            things.select(
+                F.explode(
+                    F.split(
+                        F.replace(
+                            F.regexp_extract("url_canon",
+                                             r"id=([0-9%C,]+)", 1),
+                            F.lit("%2C"), F.lit(","),
+                        ),
+                        ",",
+                    )
+                ).alias("_id"),
+                "priority",
+            )
+            .where(F.col("_id") != "")
+            .select(F.col("_id").cast("long").alias("bgg_id"), "priority")
+            .groupBy("bgg_id")
+            .agg(F.max("priority").alias("priority"))
+        )
+        new_ids = ids.join(self.ids_seen.read(), "bgg_id", "left_anti").cache()
+        w = Window.partitionBy("_g").orderBy("bgg_id")
+        batches = (
+            new_ids.withColumn("_g", F.floor(F.col("bgg_id") / 10000))
+            .withColumn("_b", F.floor((F.row_number().over(w) - 1) / 10))
+            .groupBy("_g", "_b")
+            .agg(
+                F.concat_ws(
+                    "%2C",
+                    F.array_sort(F.collect_list("bgg_id")).cast(
+                        "array<string>"
+                    ),
+                ).alias("ids_csv"),
+                F.max("priority").alias("priority"),
+            )
+        )
+        rebatched = batches.select(
+            F.concat(
+                F.lit("https://boardgamegeek.com/xmlapi2/thing?id="),
+                F.col("ids_csv"), F.lit("&stats=1"),
+            ).alias("url_canon"),
+            "priority",
+            F.lit("bgg_thing").alias("callback_kind"),
+        ).select(
+            "url_canon", "priority", "callback_kind",
+            F.xxhash64("url_canon").alias("url_hash"),
+            F.lit("boardgamegeek.com").alias("host"),
+        )
+        self.ids_seen.append(
+            new_ids.select("bgg_id", F.lit(round_no).alias("first_round")),
+            lineage={"round": round_no, "stage": "ids_seen"},
+            coalesce=self.write_coalesce,
+        )
+        out = others.unionByName(rebatched).cache()
+        new_ids.unpersist()
+        return out
+
     # ----------------------------------------------------------------- round
 
     def run_round(self, round_no: int) -> dict:
         """One BSP superstep.  Returns the round's metric dict."""
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        _trace = _os.getenv("SPARK_GRAFT_STAGE_TIMING") == "1"
+        _t0 = [_time.perf_counter()]
+
+        def _mark(label: str) -> None:
+            if _trace:
+                now = _time.perf_counter()
+                print(f"STAGE {label} {now - _t0[0]:.2f}s",
+                      file=_sys.stderr, flush=True)
+                _t0[0] = now
+
         frontier = self.frontier.read()
         if self.obey_robots:
             from .robots import filter_allowed
 
             self._refresh_robots(frontier, round_no)
             frontier = filter_allowed(frontier, self.robots.read())
-        frontier = frontier.cache()
+        obs_front = Observation()
+        frontier = frontier.observe(
+            obs_front, F.count(F.lit(1)).alias("n")
+        ).cache()
 
         # One Spark job materializes schedule→fetch→parse→scratch; every
         # count the driver needs rides along as an Observation on that
@@ -276,15 +385,13 @@ class CrawlEngine:
             .cache()
         )
 
-        # Fetch plan: the full (with-body) plan feeds ONLY the fused
-        # parse→write pass; the slim (no-body) projection is cached for
-        # retries/metrics so bodies never sit in executor storage twice.
+        # Fused fetch→parse: ONE pass over the bodies.  Per-URL 'fetch'
+        # rows ride along in the scratch output, so retries, per-host
+        # metrics, host-state, and last-scraped all become filtered reads
+        # of the scratch parquet — the fetch join never re-executes and
+        # bodies never sit in executor storage.
         fetched_full = fetch_from_table(scheduled, self.pages)
-        fetched = fetched_full.drop("body", "content_type").cache()
-        ok = fetched_full.where(F.col("status") == 200)
-        retries = retry_rows(fetched, round_no, self.max_attempts)
 
-        # Fused parse: one pass fetch-join → mapInArrow → flat parquet.
         # (Caching or multi-pass-writing the deep-nested PARSED shape
         # anti-scales 6x at high parallelism — see schemas.PARSE_FLAT.)
         import shutil as _shutil
@@ -294,11 +401,12 @@ class CrawlEngine:
             (F.col("item_kind") == k).cast("long")
         ).alias(k)
         scratch = self.root / "scratch" / f"round-{round_no}"
-        run_parse_flat(ok).observe(
+        run_parse_flat(fetched_full).observe(
             obs_items, kind("page"), kind("game"), kind("user"),
             kind("rating"),
         ).write.mode("overwrite").parquet(str(scratch))
 
+        _mark("parse_scratch_write")
         n_scheduled = int(obs_sched.get["n"] or 0)
         if self.record_schedule and n_scheduled:
             log: dict[str, list[str]] = {}
@@ -325,6 +433,16 @@ class CrawlEngine:
             "ratings": int(parse_counts["rating"] or 0),
         }
         n_items = stats["games"] + stats["users"] + stats["ratings"]
+
+        # fetch-outcome rows (retry/metrics/host-state source — scratch
+        # read, no join re-execution)
+        fetch_rows = flat.where(F.col("item_kind") == "fetch").select(
+            "url_canon", F.col("fetch.*")
+        )
+        obs_retry = Observation()
+        retries = retry_rows(
+            fetch_rows, round_no, self.max_attempts
+        ).observe(obs_retry, F.count(F.lit(1)).alias("n"))
 
         # --- item tables: columnar filtered reads of the flat output -------
         games = flat.where(F.col("item_kind") == "game").select("game.*")
@@ -356,6 +474,9 @@ class CrawlEngine:
             )
             .observe(obs_disc, F.count(F.lit(1)).alias("n"))
         ).cache()
+        disc_raw = disc
+        if self.use_ids_seen:
+            disc = self._rebatch_thing_ids(disc, round_no)
         fresh = filter_unseen(disc, self.seen.read(), self.bloom).select(
             F.col("url_canon").alias("url"),
             "url_canon",
@@ -372,11 +493,12 @@ class CrawlEngine:
         # Single materializer for the discovery branch: fills the disc +
         # fresh caches and the obs_disc observation in one job.
         n_fresh = fresh.count() if n_ok else 0
+        _mark("disc_fresh_count")
         n_disc = int(obs_disc.get["n"] or 0) if n_ok else 0
 
         # --- per-host metrics (A5; north_rule lineage requirement) ---------
         host_metrics = (
-            fetched.groupBy("host")
+            fetch_rows.groupBy("host")
             .agg(
                 F.count(F.lit(1)).alias("scheduled"),
                 F.sum((F.col("status") == 200).cast("long")).alias("fetched"),
@@ -398,14 +520,17 @@ class CrawlEngine:
 
         def _coalesce_for(n_rows: int) -> int | None:
             # coalesce() caps the parallelism of the whole write plan
-            # (including the explode feeding it) — collapse small outputs
-            # hard; large outputs keep moderate width (1 task per ~100k
-            # rows): full-width writes of millions of tiny files thrash
-            # the shared local disk.
+            # (including the filter/scan feeding it) — collapse small
+            # outputs hard (task-commit overhead dominates tiny writes),
+            # but leave big outputs at natural plan width: these scans of
+            # the scratch parquet are bounded by its file count, and a
+            # fixed cap (16 in round 1) made the dominant write stage
+            # identical wall-time at local[8] and local[32] — the
+            # measured scaling killer.
             if self.write_coalesce is None:
                 return None
             if n_rows > 25_000:
-                return max(self.write_coalesce, min(n_rows // 100_000, 16))
+                return None
             return self.write_coalesce
 
         # Gate empty writes (late rounds have no items): an empty append
@@ -413,21 +538,26 @@ class CrawlEngine:
         if n_ok > 0:
             self.documents.append(docs, lineage=lineage,
                                   coalesce=_coalesce_for(n_ok))
+            _mark("documents_write")
         if stats["games"] > 0:
             self.games.append(games, lineage=lineage,
                               coalesce=_coalesce_for(stats["games"]))
+            _mark("games_write")
         if stats["users"] > 0:
             self.users.append(users, lineage=lineage,
                               coalesce=_coalesce_for(stats["users"]))
+            _mark("users_write")
         if stats["ratings"] > 0:
             self.ratings.append(ratings, lineage=lineage,
                                 coalesce=_coalesce_for(stats["ratings"]))
+            _mark("ratings_write")
         self.metrics.append(metrics_rows, lineage=lineage, coalesce=self.write_coalesce)
+        _mark("metrics_write")
         if self.adaptive_politeness:
             from .frontier import update_host_state
 
             prev_state = self.host_state.read()
-            updated = update_host_state(prev_state, fetched, round_no,
+            updated = update_host_state(prev_state, fetch_rows, round_no,
                                         self.budgets)
             merged = prev_state.join(
                 updated.select("host"), "host", "left_anti"
@@ -435,7 +565,7 @@ class CrawlEngine:
             self.host_state.overwrite(merged, lineage=lineage, coalesce=1)
         if self.track_last_scraped:
             self.last_scraped.append(
-                fetched.where(F.col("status") == 200).select(
+                fetch_rows.where(F.col("status") == 200).select(
                     "url_hash", "url_canon",
                     F.lit(round_no).alias("round"),
                 ),
@@ -449,6 +579,7 @@ class CrawlEngine:
             self.seen.append(seen_delta, lineage=lineage, coalesce=self.write_coalesce)
             if self.bloom is not None:
                 self.bloom.add(seen_delta)
+            _mark("seen_write")
         # Frontier delta (merge-on-read): append retries+fresh, equality-
         # delete the scheduled rows.  IO is O(scheduled+discovered) per
         # round — the 10^10-row frontier is never rewritten (VERDICT r01
@@ -472,13 +603,20 @@ class CrawlEngine:
             },
             coalesce=self.write_coalesce,
         )
+        _mark("frontier_delta")
         if self.compact_every and round_no % self.compact_every == 0:
             self.frontier.compact(
                 lineage={"round": round_no, "stage": "compact"},
                 coalesce=self.write_coalesce,
             )
 
-        for df in (frontier, scheduled, fetched, disc, fresh):
+        # Frontier-balance bookkeeping (all from observations — no extra
+        # jobs): lets crawl() stop without paying for an empty round.
+        n_retries = int(obs_retry.get["n"] or 0)
+        n_frontier = int(obs_front.get["n"] or 0)
+        pending = n_frontier - n_scheduled + n_retries + n_fresh
+
+        for df in (frontier, scheduled, disc_raw, disc, fresh):
             df.unpersist()
         _shutil.rmtree(scratch, ignore_errors=True)
         return {
@@ -488,6 +626,7 @@ class CrawlEngine:
             "parsed_items": n_items,
             "discovered": n_disc,
             "fresh": n_fresh,
+            "pending": pending,
             "done": False,
         }
 
@@ -507,6 +646,8 @@ class CrawlEngine:
         for r in range(start, start + n_rounds):
             m = self.run_round(r)
             out.append(m)
-            if m.get("done"):
+            # "pending == 0" (from observations) skips the final no-op
+            # round that "done" would otherwise cost.
+            if m.get("done") or m.get("pending") == 0:
                 break
         return out

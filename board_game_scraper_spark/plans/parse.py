@@ -678,6 +678,327 @@ def parse_hotness(url_canon: str, body: str) -> dict:
             "discovered": []}
 
 
+_GAME_FIELDS = (
+    "bgg_id", "name", "alt_name", "year", "description", "designer",
+    "artist", "publisher", "url", "image_url", "video_url", "min_players",
+    "max_players", "min_players_rec", "max_players_rec", "min_players_best",
+    "max_players_best", "min_age", "max_age", "min_age_rec", "min_time",
+    "max_time", "category", "mechanic", "cooperative", "compilation",
+    "compilation_of", "family", "expansion", "implementation", "integration",
+    "rank", "add_rank", "num_votes", "avg_rating", "stddev_rating",
+    "bayes_rating", "complexity", "language_dependency", "published_at",
+    "scraped_at",
+)
+
+
+def _game_row(**kw) -> dict:
+    row = dict.fromkeys(_GAME_FIELDS)
+    row["scraped_at"] = SCRAPED_AT
+    row.update(kw)
+    return row
+
+
+# bgg_rankings.py:20-24 regexes (behavioral port)
+_RE_DIGITS = re.compile(r"^\D*(\d+).*$")
+_RE_ANY_BGG_ID = re.compile(r"/(?:board)?game/(\d+)")
+_RE_ARCHIVE_DATE = re.compile(r"web\.archive\.org/web/(\d{4,14})")
+_RE_WAYBACK_TITLE_DATE = re.compile(r"^\d{4}-\d{2}-\d{2}$|^\d{8,14}$")
+
+
+def _lenient_int(s: str | None):
+    """_parse_int(lenient=True) (bgg_rankings.py:27-43): first digit run."""
+    if not s:
+        return None
+    v = _int(s.strip())
+    if v is not None:
+        return v
+    m = _RE_DIGITS.match(s)
+    return _int(m.group(1)) if m else None
+
+
+def _bgg_id_from_href(href: str | None):
+    """_extract_bgg_id (bgg_rankings.py:46-66): works on direct AND
+    archive-prefixed URLs (the id pattern lives in the embedded path)."""
+    if not href:
+        return None
+    m = _RE_ANY_BGG_ID.search(href)
+    return _int(m.group(1)) if m else None
+
+
+def _archive_date(url: str):
+    """_extract_date (bgg_rankings.py:101-115): wayback timestamp from
+    the URL path, E14 shape."""
+    m = _RE_ARCHIVE_DATE.search(url or "")
+    if not m:
+        return None
+    stamp = m.group(1).ljust(14, "0")[:14]
+    try:
+        return datetime.strptime(stamp, "%Y%m%d%H%M%S")
+    except ValueError:
+        return None
+
+
+def _urljoin(base: str, href: str) -> str:
+    if not href or "://" in href[:10]:
+        return href
+    from urllib.parse import urljoin
+
+    return urljoin(base, href)
+
+
+def parse_bgg_rankings(url_canon: str, body: str) -> dict:
+    """bgg_rankings.py:183-354: one callback, four historical layouts +
+    wayback-toolbar navigation.
+
+    Contract (bgg_rankings.py:184-188): the modern browse page yields
+    exactly 100 items and 12 requests.  Rebuilt on the stdlib DOM engine
+    (functions/html.py) — real selector semantics, not regexes (E2).
+    """
+    from ..functions.html import parse_html
+
+    doc = parse_html(body)
+    published_at = _archive_date(url_canon) or SCRAPED_AT
+    spans, games, discovered, seen_urls = [], [], [], set()
+
+    def follow(href: str, priority: int):
+        target = _urljoin(url_canon, href)
+        if target and target not in seen_urls:
+            seen_urls.add(target)
+            discovered.append({"url": target, "priority": priority,
+                               "callback_kind": "bgg_rankings"})
+
+    def emit(game: dict, image: str | None):
+        games.append(game)
+        if game.get("name"):
+            spans.append(_span("text", len(spans), text=game["name"]))
+        if image:
+            spans.append(_span("image", len(spans), media_ref=image))
+
+    # pagination (all eras): //a[contains(@title,'page')]/@href, prio 1
+    for a in doc.select("a[title]"):
+        if "page" in (a.get("title") or "") and a.get("href"):
+            follow(a.get("href"), 1)
+
+    # Era A: modern browse table#collectionitems (bgg_rankings.py:207-246)
+    for row in doc.select("table#collectionitems tr"):
+        link_el = row.select_first("td.collection_objectname a")
+        bgg_id = _bgg_id_from_href(
+            _urljoin(url_canon, link_el.get("href")) if link_el else None
+        )
+        if not bgg_id:
+            continue
+        year_el = row.select_first(
+            "td.collection_objectname span.smallerfont.dull"
+        )
+        img_el = row.select_first("td.collection_thumbnail img")
+        image = (_urljoin(url_canon, img_el.get("src"))
+                 if img_el is not None else None)
+        ratings = [c.text() for c in row.select("td.collection_bggrating")]
+        rank_el = row.select_first("td.collection_rank")
+        game = _game_row(
+            bgg_id=bgg_id,
+            name=clean_text_one(link_el.text()) or None,
+            year=_lenient_int(year_el.text() if year_el else None),
+            rank=_lenient_int(rank_el.text() if rank_el else None),
+            image_url=[image] if image else None,
+            url=_urljoin(url_canon, link_el.get("href")),
+            published_at=published_at,
+        )
+        if len(ratings) == 3:
+            game["bayes_rating"] = _float(ratings[0])
+            game["avg_rating"] = _float(ratings[1])
+            game["num_votes"] = _int(ratings[2])
+        emit(game, image)
+
+    # Era B: rankbrowse.php3 simplebox, exactly-3-cell rows
+    # (bgg_rankings.py:247-277)
+    for row in doc.select("div.simplebox table tr"):
+        cells = row.child_elements("td")
+        if len(cells) != 3:
+            continue
+        link_el = cells[1].select_first("a")
+        bgg_id = _bgg_id_from_href(
+            _urljoin(url_canon, link_el.get("href")) if link_el else None
+        )
+        if not bgg_id:
+            continue
+        emit(
+            _game_row(
+                bgg_id=bgg_id,
+                rank=_lenient_int(cells[0].text()),
+                name=clean_text_one(cells[1].text()) or None,
+                bayes_rating=_float(cells[2].text()),
+                url=_urljoin(url_canon, link_el.get("href")),
+                published_at=published_at,
+            ),
+            None,
+        )
+
+    # Era C: browser.php gamebrowser_table, 5+-cell rows
+    # (bgg_rankings.py:278-311)
+    for row in doc.select("table.gamebrowser_table tr"):
+        cells = row.child_elements("td")
+        if len(cells) < 5:
+            continue
+        link_el = cells[2].select_first("a")
+        bgg_id = _bgg_id_from_href(
+            _urljoin(url_canon, link_el.get("href")) if link_el else None
+        )
+        if not bgg_id:
+            continue
+        img_el = cells[1].select_first("img")
+        image = (_urljoin(url_canon, img_el.get("src"))
+                 if img_el is not None else None)
+        emit(
+            _game_row(
+                bgg_id=bgg_id,
+                rank=_lenient_int(cells[0].text()),
+                name=clean_text_one(cells[2].text()) or None,
+                bayes_rating=_float(cells[3].text()),
+                num_votes=_lenient_int(cells[4].text()),
+                image_url=[image] if image else None,
+                url=_urljoin(url_canon, link_el.get("href")),
+                published_at=published_at,
+            ),
+            image,
+        )
+
+    # Era D: top50.htm / topn.php3 — table whose header row contains
+    # <h3>Bayesian Average</h3> (bgg_rankings.py:313-344)
+    for table in doc.select("table"):
+        header_rows = table.select("tr")
+        if not any(
+            "Bayesian Average" in h3.text()
+            for r in header_rows for td in r.child_elements("td")
+            for h3 in td.child_elements("h3")
+        ):
+            continue
+        for row in header_rows:
+            cells = row.child_elements("td")
+            if len(cells) < 4:
+                continue
+            link_el = cells[1].select_first("a")
+            bgg_id = _bgg_id_from_href(
+                _urljoin(url_canon, link_el.get("href")) if link_el else None
+            )
+            rank = _lenient_int(cells[0].text())
+            if not bgg_id or not rank:
+                continue
+            emit(
+                _game_row(
+                    bgg_id=bgg_id,
+                    rank=rank,
+                    name=clean_text_one(cells[1].text()) or None,
+                    bayes_rating=_float(cells[2].text()),
+                    num_votes=_lenient_int(cells[3].text()),
+                    url=_urljoin(url_canon, link_el.get("href")),
+                    published_at=published_at,
+                ),
+                None,
+            )
+
+    # Wayback toolbar navigation: archive snapshots whose anchor @title
+    # parses as a date, prio -1 (bgg_rankings.py:345-354)
+    for a in doc.select("div#wm-ipp table a"):
+        title, href = a.get("title"), a.get("href")
+        if title and href and _RE_WAYBACK_TITLE_DATE.match(title.strip()):
+            follow(href, -1)
+
+    return {"spans": spans, "games": games, "users": [], "ratings": [],
+            "discovered": discovered}
+
+
+# bgg_geeklist.py:34-35: not part of the rankings
+EXCLUDE_GEEKLIST_BGG_IDS = frozenset((197551, 167330))
+_RE_GEEKLIST_TITLE = re.compile(
+    r"^\s*bgg\s*top.*from\s*(\d+\s*[a-z]+\s*\d+)\s*to\s*(\d+\s*[a-z]+\s*\d+).*$",
+    re.IGNORECASE,
+)
+
+
+def parse_bgg_geeklist(url_canon: str, body: str) -> dict:
+    """bgg_geeklist.py:49-137: geeklist items → ranked GameItems, child
+    geeklists + pagination → follow requests."""
+    from ..functions.html import parse_html
+
+    doc = parse_html(body)
+    spans, games, discovered, seen_urls = [], [], [], set()
+
+    def follow(href: str):
+        target = _urljoin(url_canon, href)
+        if target and target not in seen_urls:
+            seen_urls.add(target)
+            discovered.append({"url": target, "priority": 0,
+                               "callback_kind": "bgg_geeklist"})
+
+    # pagination (bgg_geeklist.py:108-114)
+    for a in doc.select("a[title]"):
+        if "page" in (a.get("title") or "") and a.get("href"):
+            follow(a.get("href"))
+
+    # published_at from "<title>"/"div.geeklist_title" date range
+    # (bgg_geeklist.py:118-130: the range END is the publication date)
+    published_at = None
+    titles = [t.text() for t in doc.select("title")]
+    titles += [t.text() for t in doc.select("div.geeklist_title")]
+    for t in titles:
+        m = _RE_GEEKLIST_TITLE.match(t or "")
+        if m:
+            try:
+                published_at = datetime.strptime(
+                    re.sub(r"\s+", " ", m.group(2)).strip(), "%d %b %Y"
+                )
+                break
+            except ValueError:
+                pass
+
+    for item in doc.select("[data-objecttype=listitem]"):
+        title_el = item.select_first(".geeklist_item_title")
+        if title_el is None:
+            continue
+        anchors = title_el.select("a")
+        rank_text = anchors[0].text() if anchors else None
+        rank = _int(rank_text[:-1]) if rank_text else None
+
+        bgg_id = None
+        for a in anchors:
+            bgg_id = _bgg_id_from_href(_urljoin(url_canon, a.get("href")))
+            if bgg_id:
+                break
+        if bgg_id and bgg_id not in EXCLUDE_GEEKLIST_BGG_IDS:
+            name = (clean_text_one(anchors[1].text())
+                    if len(anchors) > 1 else None)
+            image = None
+            for img in item.select("img"):
+                if (img.get("alt") or "").startswith("Board Game:"):
+                    image = _urljoin(url_canon, img.get("src"))
+                    break
+            games.append(
+                _game_row(
+                    bgg_id=bgg_id,
+                    name=name or None,
+                    rank=rank,
+                    image_url=[image] if image else None,
+                    url=_urljoin(url_canon, anchors[1].get("href"))
+                    if len(anchors) > 1 else None,
+                    published_at=published_at,
+                )
+            )
+            if name:
+                spans.append(_span("text", len(spans), text=name))
+            if image:
+                spans.append(_span("image", len(spans), media_ref=image))
+            continue
+        # not a game: follow a child geeklist link (bgg_geeklist.py:76-84)
+        if len(anchors) > 1:
+            href = anchors[1].get("href")
+            if href and "/geeklist/" in href:
+                follow(href)
+
+    return {"spans": spans, "games": games, "users": [], "ratings": [],
+            "discovered": discovered}
+
+
 PARSERS = {
     "bgg_browse": parse_browse,
     "bgg_thing": parse_thing,
@@ -689,6 +1010,8 @@ PARSERS = {
     "wikidata_sparql": parse_sparql,
     "bgg_rank_history": parse_rank_history,
     "bgg_hotness": parse_hotness,
+    "bgg_rankings": parse_bgg_rankings,
+    "bgg_geeklist": parse_bgg_geeklist,
 }
 
 
@@ -808,8 +1131,10 @@ def parse_arrow_batches(batches):
 
 
 def parse_flat_batches(batches):
-    """mapInArrow kernel emitting the PARSE_FLAT shape: one 'page' row
-    (spans + discovered) plus one flat row per extracted item."""
+    """mapInArrow kernel emitting the PARSE_FLAT shape: one 'fetch' row
+    per input URL (any status — retries/metrics derive from it), one
+    'page' row (spans + discovered) per 200, plus one flat row per
+    extracted item."""
     import pyarrow as pa
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -822,17 +1147,31 @@ def parse_flat_batches(batches):
     def emit(rows: list[tuple]) -> pa.RecordBatch:
         cols = list(zip(*rows))
         names = ["url_canon", "item_kind", "spans", "discovered", "game",
-                 "user", "rating"]
+                 "user", "rating", "fetch"]
         arrays = [pa.array(list(c), types[n]) for n, c in zip(names, cols)]
         return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
     rows: list[tuple] = []
     for rb in batches:
-        urls = rb.column(0).to_pylist()
-        kinds = rb.column(1).to_pylist()
-        bodies = rb.column(2).to_pylist()
-        for url_canon, kind, body in zip(urls, kinds, bodies):
-            parsed = parse_page(url_canon, kind, body)
+        cols = {name: rb.column(i).to_pylist()
+                for i, name in enumerate(rb.schema.names)}
+        for i, url_canon in enumerate(cols["url_canon"]):
+            status = cols["status"][i]
+            fetch = {
+                "url_hash": cols["url_hash"][i],
+                "host": cols["host"][i],
+                "priority": cols["priority"][i],
+                "callback_kind": cols["callback_kind"][i],
+                "attempt": cols["attempt"][i],
+                "status": status,
+                "latency_ms": cols["latency_ms"][i],
+            }
+            rows.append((url_canon, "fetch", None, None, None, None, None,
+                         fetch))
+            if status != 200:
+                continue
+            parsed = parse_page(url_canon, cols["callback_kind"][i],
+                                cols["body"][i])
             disc = []
             for d in parsed["discovered"]:
                 canon = _canon_cached(d["url"])
@@ -840,13 +1179,16 @@ def parse_flat_batches(batches):
                     disc.append({"url": canon, "priority": d["priority"],
                                  "callback_kind": d["callback_kind"]})
             rows.append((url_canon, "page", parsed["spans"], disc,
-                         None, None, None))
+                         None, None, None, None))
             for g in parsed["games"]:
-                rows.append((url_canon, "game", None, None, g, None, None))
+                rows.append((url_canon, "game", None, None, g, None, None,
+                             None))
             for u in parsed["users"]:
-                rows.append((url_canon, "user", None, None, None, u, None))
+                rows.append((url_canon, "user", None, None, None, u, None,
+                             None))
             for r in parsed["ratings"]:
-                rows.append((url_canon, "rating", None, None, None, None, r))
+                rows.append((url_canon, "rating", None, None, None, None,
+                             r, None))
             if len(rows) >= PARSE_CHUNK_PAGES * 64:
                 yield emit(rows)
                 rows = []
@@ -854,17 +1196,21 @@ def parse_flat_batches(batches):
         yield emit(rows)
 
 
-def run_parse_flat(fetched_ok, target_partitions: int | None = None):
-    """fetched (status==200) → PARSE_FLAT DataFrame — the crawl loop's
-    parse stage.  Designed to be *fused into a single write*: no nested
-    page-level arrays for items, so the downstream parquet write and the
-    per-kind filtered reads stay fast at full parallelism."""
+def run_parse_flat(fetched, target_partitions: int | None = None):
+    """fetched (ALL statuses) → PARSE_FLAT DataFrame — the crawl loop's
+    single fused parse pass.  Designed to be written ONCE: no nested
+    page-level arrays for items, and per-URL 'fetch' rows ride along so
+    every downstream consumer (item tables, metrics, retries, discovery)
+    is a cheap filtered read of the one scratch parquet."""
     from ..schemas import PARSE_FLAT
 
-    src = fetched_ok.select("url_canon", "callback_kind", "body")
+    src = fetched.select(
+        "url_canon", "callback_kind", "body", "url_hash", "host",
+        "priority", "attempt", "status", "latency_ms",
+    )
     if target_partitions is None:
         target_partitions = (
-            fetched_ok.sparkSession.sparkContext.defaultParallelism * 2
+            fetched.sparkSession.sparkContext.defaultParallelism * 2
         )
     if target_partitions:
         src = src.repartition(target_partitions)

@@ -44,8 +44,18 @@ def parse_robots_body(body: str | None) -> list[str]:
 
 def robots_table(fetched_robots: DataFrame, round_no: int) -> DataFrame:
     """Build the robots dim from fetched robots.txt pages
-    (host, disallow_prefixes, fetched_round)."""
-    parse_udf = F.udf(parse_robots_body, "array<string>")
+    (host, disallow_prefixes, fetched_round).  Arrow-batched pandas UDF
+    (repo standard: no per-row Python even off the hot path)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _parse_series(bodies: pd.Series) -> pd.Series:
+        return bodies.map(parse_robots_body)
+
+    _parse_series.__annotations__ = {"bodies": pd.Series,
+                                     "return": pd.Series}
+    parse_udf = pandas_udf(_parse_series, "array<string>")
+
     return fetched_robots.select(
         "host",
         parse_udf(F.col("body")).alias("disallow_prefixes"),

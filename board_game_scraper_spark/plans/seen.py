@@ -124,10 +124,130 @@ class ShardedBloom:
         )
 
 
+BLOOM_ROW_SCHEMA = "shard int, version long, bits binary"
+
+
+class SnapshotBloom:
+    """Cluster-safe sharded bloom: bitmaps live as (shard, version, bits)
+    rows in a SnapshotTable instead of executor-local files.
+
+    - ``add``: new url_hash deltas are cogrouped with each shard's latest
+      bitmap (``applyInPandas`` over ``cogroup`` — the bitmap and the
+      delta meet shard-locally on an executor, nothing broadcast); only
+      TOUCHED shards append a new (version+1) row — merge-on-read, same
+      pattern as the frontier's delta commits.
+    - ``prefilter``: candidates cogroup with latest bitmaps per shard.
+    - ``compact()``: keep only the latest row per shard.
+
+    The file-based ``ShardedBloom`` above assumes a shared filesystem
+    (true in local mode and on NFS/fuse DFS mounts); this variant only
+    needs the snapshot table's storage, so it works on any cluster.
+    Same bit math (``_bit_positions``), same false-positive-only
+    semantics.
+    """
+
+    def __init__(self, spark, path: str | Path, n_shards: int = 64,
+                 shard_capacity: int = 1_000_000):
+        from pyspark.sql.types import (
+            BinaryType, IntegerType, LongType, StructField, StructType,
+        )
+
+        from ..tables import SnapshotTable
+
+        self.spark = spark
+        self.n_shards = n_shards
+        self.m_bits = max(shard_capacity * BITS_PER_KEY, 1024)
+        schema = StructType([
+            StructField("shard", IntegerType(), False),
+            StructField("version", LongType(), False),
+            StructField("bits", BinaryType(), False),
+        ])
+        self.table = SnapshotTable(spark, path, schema)
+
+    def shard_col(self):
+        return F.pmod(F.col("url_hash"), F.lit(self.n_shards)).cast("int")
+
+    def _latest(self) -> DataFrame:
+        from pyspark.sql import Window
+
+        t = self.table.read()
+        w = Window.partitionBy("shard").orderBy(F.col("version").desc())
+        return (
+            t.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("shard", "bits")
+        )
+
+    def add(self, df: DataFrame) -> None:
+        m_bits = self.m_bits
+        snap = self.table.current_snapshot()
+        version = (snap["id"] + 1) if snap else 1
+
+        def _merge(key, cand: pd.DataFrame, bits_pdf: pd.DataFrame):
+            if not len(cand):
+                return pd.DataFrame(
+                    {"shard": [], "version": [], "bits": []}
+                ).astype({"shard": "int32", "version": "int64"})
+            if len(bits_pdf):
+                bits = np.frombuffer(bits_pdf["bits"].iloc[0],
+                                     dtype=np.uint8).copy()
+            else:
+                bits = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
+            pos = _bit_positions(
+                cand["url_hash"].to_numpy(np.int64), m_bits
+            ).ravel()
+            np.bitwise_or.at(bits, pos // 8,
+                             (1 << (pos % 8)).astype(np.uint8))
+            return pd.DataFrame({"shard": [int(key[0])],
+                                 "version": [version],
+                                 "bits": [bits.tobytes()]})
+
+        deltas = df.select("url_hash").withColumn("shard", self.shard_col())
+        updated = (
+            deltas.groupBy("shard")
+            .cogroup(self._latest().groupBy("shard"))
+            .applyInPandas(_merge, BLOOM_ROW_SCHEMA)
+        )
+        self.table.append(updated, lineage={"version": version})
+
+    def prefilter(self, candidates: DataFrame) -> DataFrame:
+        m_bits = self.m_bits
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in candidates.schema.fields
+        ) + ", maybe_seen boolean"
+
+        def _check(key, cand: pd.DataFrame, bits_pdf: pd.DataFrame):
+            cand = cand.drop(columns=["_shard"])
+            if not len(cand):
+                return cand.assign(maybe_seen=pd.Series(dtype=bool))
+            if not len(bits_pdf):
+                return cand.assign(maybe_seen=False)
+            bits = np.frombuffer(bits_pdf["bits"].iloc[0], dtype=np.uint8)
+            pos = _bit_positions(cand["url_hash"].to_numpy(np.int64),
+                                 m_bits)
+            hit = (bits[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+            return cand.assign(maybe_seen=hit.all(axis=0).astype(bool))
+
+        shards = self._latest().withColumnRenamed("shard", "_shard")
+        return (
+            candidates.withColumn("_shard", self.shard_col())
+            .groupBy("_shard")
+            .cogroup(shards.groupBy("_shard"))
+            .applyInPandas(_check, out_schema)
+        )
+
+    def compact(self) -> None:
+        """Fold history: one latest row per shard."""
+        self.table.overwrite(self._latest().withColumn(
+            "version", F.lit(0).cast("long")
+        ).select("shard", "version", "bits"))
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: ShardedBloom | None = None,
+    bloom: "ShardedBloom | SnapshotBloom | None" = None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose url_hash is NOT in ``seen``.
 

@@ -713,6 +713,157 @@ def q_union_distinct(spark, sf_dir):
     return a.union(b).distinct()
 
 
+def q_rankings_extract(spark, sf_dir):
+    """bgg_rankings historical-layout extraction (E2,
+    bgg_rankings.py:247-277): era-B HTML generated deterministically from
+    ``part``, parsed by the REAL parser (stdlib DOM, Arrow-batched); the
+    oracle recomputes the planted ground truth directly."""
+    from .plans.parse import parse_bgg_rankings
+
+    part = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    rank_s = (pk % 997 + 1).cast("string")
+    bayes_s = F.concat(
+        (pk % 5 + 5).cast("string"), F.lit("."),
+        F.lpad((pk % 100).cast("string"), 2, "0"),
+    )
+    body = F.concat(
+        F.lit('<html><body><div class="simplebox"><table>'
+              "<tr><th>Rank</th><th>Game</th><th>Rating</th></tr><tr><td>"),
+        rank_s,
+        F.lit('</td><td><a href="/game/'), (pk + 1).cast("string"),
+        F.lit('">Game '), (pk + 1).cast("string"),
+        F.lit("</a></td><td>"), bayes_s,
+        F.lit("</td></tr></table></div></body></html>"),
+    )
+    src = part.select("p_partkey", body.alias("body"))
+
+    def _kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k, b in zip(pdf["p_partkey"], pdf["body"]):
+                games = parse_bgg_rankings(
+                    "https://boardgamegeek.com/rankbrowse.php3", b
+                )["games"]
+                if games:
+                    g = games[0]
+                    rows.append((int(k), g["bgg_id"], g["rank"], g["name"],
+                                 g["bayes_rating"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["p_partkey", "bgg_id", "rank", "name",
+                         "bayes_rating"],
+            )
+
+    return src.mapInPandas(
+        _kernel,
+        "p_partkey long, bgg_id long, rank int, name string, "
+        "bayes_rating double",
+    )
+
+
+def q_geeklist_extract(spark, sf_dir):
+    """bgg_geeklist item extraction (bgg_geeklist.py:49-106) incl. the
+    excluded-id rule (197551): listitem HTML generated from ``customer``,
+    parsed by the real parser; oracle recomputes ground truth."""
+    from .plans.parse import parse_bgg_geeklist
+
+    cust = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    gid = F.when(ck % 100 == 0, F.lit(197551)).otherwise(ck).cast("string")
+    rank_s = (ck % 500 + 1).cast("string")
+    body = F.concat(
+        F.lit('<html><body><div data-objecttype="listitem">'
+              '<div class="geeklist_item_title"><a href="/item/1">'),
+        rank_s, F.lit(":</a> "),
+        F.lit('<a href="/boardgame/'), gid, F.lit('/g">Game '), gid,
+        F.lit("</a></div></div></body></html>"),
+    )
+    src = cust.select("c_custkey", body.alias("body"))
+
+    def _kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k, b in zip(pdf["c_custkey"], pdf["body"]):
+                games = parse_bgg_geeklist(
+                    "https://boardgamegeek.com/geeklist/1/x", b
+                )["games"]
+                if games:
+                    g = games[0]
+                    rows.append((int(k), g["bgg_id"], g["rank"], g["name"]))
+            yield pd.DataFrame(
+                rows, columns=["c_custkey", "bgg_id", "rank", "name"]
+            )
+
+    return src.mapInPandas(
+        _kernel, "c_custkey long, bgg_id long, rank int, name string"
+    )
+
+
+def q_entity_resolution(spark, sf_dir):
+    """J5 entity resolution (reference cluster.py:187-337) through the
+    real operator pipeline: exact-id edges + blocked fuzzy-name edges +
+    connected components.  Planted cross-source triples per customer —
+    two records share a bgg_id (exact edge), a third links only by name
+    similarity (fuzzy edge, token-block join) — so every component and
+    canonical id is known in closed form for the oracle."""
+    from .operators.cluster import resolve_entities
+
+    cust = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    year = (1990 + ck % 30).cast("int")
+    a = cust.select(
+        (2 * ck).alias("rec_id"), ck.alias("bgg_id"),
+        F.concat(F.lit("alpha beta game"), ck.cast("string")).alias("name"),
+        year.alias("year"),
+    )
+    b = cust.select(
+        (2 * ck + 1).alias("rec_id"), ck.alias("bgg_id"),
+        F.concat(F.lit("alpha beta game"), ck.cast("string")).alias("name"),
+        year.alias("year"),
+    )
+    c = cust.select(
+        (10_000_000 + ck).alias("rec_id"),
+        F.lit(None).cast("long").alias("bgg_id"),
+        F.concat(F.lit("alpha beta gamma"), ck.cast("string"),
+                 F.lit(" game"), ck.cast("string")).alias("name"),
+        year.alias("year"),
+    )
+    records = a.unionByName(b).unionByName(c)
+    return resolve_entities(records, "rec_id", "name", "year")
+
+
+def q_labels_resolve(spark, sf_dir):
+    """C13/J4 label resolution (pipelines.py:61-143) through the real
+    operator: planted Q-id arrays + a labels dim; unresolvable ids drop,
+    order = (id position, language priority)."""
+    from .operators.labels import resolve_labels
+
+    cust = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    items = cust.select(
+        ck.alias("key"),
+        F.array(
+            F.concat(F.lit("Q"), (ck % 50).cast("string")),
+            F.concat(F.lit("Q"), (ck % 37 + 50).cast("string")),
+            F.lit("Q9999"),
+        ).alias("designer"),
+    )
+    qid = F.concat(F.lit("Q"), (ck - 1).cast("string"))
+    dim = cust.where(ck <= 87).select(
+        qid.alias("qid"),
+        F.array(
+            F.concat(F.lit("en "), qid), F.concat(F.lit("de "), qid)
+        ).alias("labels"),
+    )
+    out = resolve_labels(items, dim, "key", ("designer",))
+    return out.select("key", F.concat_ws("|", "designer").alias("designers"))
+
+
 # ---------------------------------------------------------------------------
 # Rows-only entries (genuinely non-SQL-expressible; driver records a
 # weaker rows-only check)
@@ -720,7 +871,9 @@ def q_union_distinct(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed approximate nearest neighbors (scale path of the
-    similarity-search family; centroid quantizer + nprobe pruning)."""
+    similarity-search family; centroid quantizer + nprobe pruning).
+    Oracle-checked end-to-end: id-stratified seeds + quantized Lloyd
+    means make the whole index build reproducible in DuckDB."""
     from .operators.similarity import ivf_topk, make_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -728,7 +881,7 @@ def q_ann_ivf_topk(spark, sf_dir):
         F.col("embedding").alias("qvec")
     )
     vectors = emb.where(F.col("vec_id") != 0)
-    centroids = make_centroids(vectors, nlist=4)
+    centroids = make_centroids(vectors, nlist=4, strat="id")
     return ivf_topk(vectors, query, centroids, k=10, nprobe=2)
 
 
@@ -793,6 +946,10 @@ QUERIES = {
     "commons_rewrite": q_commons_rewrite,
     "explode_collect": q_explode_collect,
     "union_distinct": q_union_distinct,
+    "rankings_extract": q_rankings_extract,
+    "geeklist_extract": q_geeklist_extract,
+    "entity_resolution": q_entity_resolution,
+    "labels_resolve": q_labels_resolve,
     "ann_ivf_topk": q_ann_ivf_topk,
     "media_features": q_media_features,
 }
@@ -1184,5 +1341,137 @@ ORACLES = {
     "union_distinct": """
         SELECT DISTINCT user_id FROM events
         WHERE event_type IN ('click', 'purchase')
+    """,
+    "rankings_extract": """
+        SELECT p_partkey,
+               p_partkey + 1 AS bgg_id,
+               CAST(p_partkey % 997 + 1 AS INT) AS rank,
+               'Game ' || (p_partkey + 1) AS name,
+               CAST((p_partkey % 5 + 5) || '.' ||
+                    lpad(CAST(p_partkey % 100 AS VARCHAR), 2, '0')
+                    AS DOUBLE) AS bayes_rating
+        FROM part
+    """,
+    "geeklist_extract": """
+        SELECT c_custkey,
+               c_custkey AS bgg_id,
+               CAST(c_custkey % 500 + 1 AS INT) AS rank,
+               'Game ' || c_custkey AS name
+        FROM customer
+        WHERE c_custkey % 100 <> 0
+    """,
+    # planted components {2k, 2k+1, 10^7+k} → canonical = min = 2k
+    "entity_resolution": """
+        SELECT CAST(2 * c_custkey AS BIGINT) AS rec_id,
+               CAST(2 * c_custkey AS BIGINT) AS canonical_id
+        FROM customer
+        UNION ALL
+        SELECT CAST(2 * c_custkey + 1 AS BIGINT),
+               CAST(2 * c_custkey AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT CAST(10000000 + c_custkey AS BIGINT),
+               CAST(2 * c_custkey AS BIGINT)
+        FROM customer
+    """,
+    "labels_resolve": """
+        SELECT c_custkey AS key,
+               'en Q' || (c_custkey % 50) || '|de Q' || (c_custkey % 50)
+               || '|en Q' || (c_custkey % 37 + 50)
+               || '|de Q' || (c_custkey % 37 + 50) AS designers
+        FROM customer
+    """,
+    # Full IVF index build + probe, mirrored step-by-step: id-stratified
+    # seeds → tie-broken nearest-seed assignment → quantized Lloyd mean
+    # (integer sums: float sum order is engine-dependent) → reassign →
+    # probe the 2 lists nearest the query → exact top-10 rerank.
+    "ann_ivf_topk": """
+        WITH q AS (
+            SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        vecs AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+        seeds AS (
+            SELECT CAST(vec_id % 4 AS BIGINT) AS list_id,
+                   arg_min(embedding, vec_id) AS cvec
+            FROM vecs GROUP BY 1),
+        a0 AS (
+            SELECT vec_id, embedding, list_id FROM (
+                SELECT v.vec_id, v.embedding, s.list_id,
+                       row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                           round(list_dot_product(v.embedding, s.cvec)
+                             / (sqrt(list_dot_product(v.embedding,
+                                                      v.embedding))
+                                * sqrt(list_dot_product(s.cvec, s.cvec))),
+                             9) DESC,
+                           s.list_id DESC) AS rn
+                FROM vecs v CROSS JOIN seeds s)
+            WHERE rn = 1),
+        dims AS (
+            SELECT unnest(generate_series(1,
+                       (SELECT len(qvec) FROM q))) AS pos),
+        cents AS (
+            SELECT list_id, list(m ORDER BY pos) AS cvec FROM (
+                SELECT list_id, dims.pos AS pos,
+                       sum(CAST(floor(CAST(a0.embedding[dims.pos]
+                           AS DOUBLE) * 1e6)
+                           AS BIGINT)) / count(*) / 1e6 AS m
+                FROM a0, dims
+                GROUP BY 1, 2)
+            GROUP BY 1),
+        a1 AS (
+            SELECT vec_id, embedding, list_id FROM (
+                SELECT v.vec_id, v.embedding, c.list_id,
+                       row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                           round(list_dot_product(
+                                   list_transform(v.embedding,
+                                       x -> CAST(x AS DOUBLE)), c.cvec)
+                             / (sqrt(list_dot_product(v.embedding,
+                                                      v.embedding))
+                                * sqrt(list_dot_product(c.cvec, c.cvec))),
+                             9) DESC,
+                           c.list_id DESC) AS rn
+                FROM vecs v CROSS JOIN cents c)
+            WHERE rn = 1),
+        qlists AS (
+            SELECT list_id FROM cents, q
+            ORDER BY round(list_dot_product(
+                         cents.cvec,
+                         list_transform(q.qvec, x -> CAST(x AS DOUBLE)))
+                     / (sqrt(list_dot_product(cents.cvec, cents.cvec))
+                        * sqrt(list_dot_product(q.qvec, q.qvec))),
+                     9) DESC, list_id ASC
+            LIMIT 2),
+        probe AS (SELECT a1.* FROM a1 JOIN qlists USING (list_id))
+        SELECT p.vec_id,
+               round(list_dot_product(p.embedding, q.qvec)
+                 / (sqrt(list_dot_product(p.embedding, p.embedding))
+                    * sqrt(list_dot_product(q.qvec, q.qvec))), 4)
+                   AS cosine
+        FROM probe p, q
+        ORDER BY cosine DESC, p.vec_id ASC
+        LIMIT 10
+    """,
+    # The fake decoder is sha256(media_ref): first uint32 (little-endian)
+    # % 10000 / 10000 — reproduced digit-by-digit (DuckDB has no
+    # hex-to-int builtin, so nibbles come from strpos lookup).
+    "media_features": """
+        WITH m AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'img://' || CAST(doc_id AS VARCHAR) AS media_ref
+            FROM documents),
+        h AS (SELECT doc_id, media_ref, sha256(media_ref) AS h,
+                     '0123456789abcdef' AS hx FROM m)
+        SELECT doc_id, media_ref, CAST(8 AS INT) AS feat_dim,
+               round(((
+                   (strpos(hx, substr(h,1,1))-1)*16
+                   + (strpos(hx, substr(h,2,1))-1)
+                   + ((strpos(hx, substr(h,3,1))-1)*16
+                      + (strpos(hx, substr(h,4,1))-1)) * 256
+                   + ((strpos(hx, substr(h,5,1))-1)*16
+                      + (strpos(hx, substr(h,6,1))-1)) * 65536
+                   + ((strpos(hx, substr(h,7,1))-1)*16
+                      + (strpos(hx, substr(h,8,1))-1)) * 16777216
+               ) % 10000) / 10000.0, 4) AS f0
+        FROM h
     """,
 }

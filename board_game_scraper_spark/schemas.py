@@ -74,6 +74,15 @@ URL_SEEN = StructType(
     ]
 )
 
+# Item-level id-seen set (F7, spiders/bgg.py:229-242,256-261 _ids_seen):
+# game ids already packed into an API batch never re-enter one.
+IDS_SEEN = StructType(
+    [
+        StructField("bgg_id", LongType(), False),
+        StructField("first_round", IntegerType(), False),
+    ]
+)
+
 # Synthetic fetch corpus (stands in for the HTTP downloader S5; see
 # FIXTURES.md §3).  status/latency exercise retry (F9) + autothrottle (F4).
 PAGES = StructType(
@@ -274,14 +283,32 @@ PARSED = StructType(
 # anti-scale when cached/written at high parallelism — Spark's columnar
 # writers serialize badly on them (measured 6x at local[32]); this shape
 # keeps every hot column shallow.
+# Per-URL fetch outcome carried through the fused parse pass (one 'fetch'
+# row per scheduled URL) so retries, per-host metrics, and last-scraped
+# tracking derive from the already-written scratch parquet instead of
+# re-running the fetch join per consumer.
+FETCH_META = StructType(
+    [
+        StructField("url_hash", LongType(), False),
+        StructField("host", StringType(), True),
+        StructField("priority", IntegerType(), False),
+        StructField("callback_kind", StringType(), False),
+        StructField("attempt", IntegerType(), False),
+        StructField("status", IntegerType(), False),
+        StructField("latency_ms", IntegerType(), True),
+    ]
+)
+
 PARSE_FLAT = StructType(
     [
         StructField("url_canon", StringType(), False),
-        StructField("item_kind", StringType(), False),  # page|game|user|rating
+        # fetch|page|game|user|rating
+        StructField("item_kind", StringType(), False),
         StructField("spans", ArrayType(SPAN), True),
         StructField("discovered", ArrayType(DISCOVERED), True),
         StructField("game", GAME_ITEM, True),
         StructField("user", USER_ITEM, True),
         StructField("rating", RATING_ITEM, True),
+        StructField("fetch", FETCH_META, True),
     ]
 )

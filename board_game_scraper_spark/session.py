@@ -43,6 +43,13 @@ _DEFAULTS = {
     # v2 committer: task-side renames, no serial driver-side commit loop
     # (matters for the many small snapshot writes per crawl round).
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    # Parquet row-group size: with 32 writer tasks in ONE JVM, the default
+    # 128 MB row group means every task buffers ~128 MB of column writers
+    # before flushing — measured 1.6x slowdown of the nested parse-output
+    # write at local[32] vs local[8] (allocation/GC churn, not IO).  8 MB
+    # groups flush incrementally and restore write-stage scaling; on a
+    # multi-executor cluster with few tasks per JVM, raise this back up.
+    "spark.hadoop.parquet.block.size": str(8 * 1024 * 1024),
 }
 
 
@@ -87,6 +94,15 @@ def get_spark(
     if master.startswith("local"):
         conf.setdefault("spark.driver.memory",
                         os.getenv("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # G1 (the JDK17 default) collapses under 32 concurrent tasks
+        # allocating large strings + nested rows in one big heap:
+        # measured 64-73s for the fused fetch→parse→write stage at
+        # local[32] vs 15-21s with the throughput-oriented ParallelGC —
+        # G1's humongous-allocation + concurrent-mark churn was the
+        # round's dominant anti-scaling source.  Local mode only (on a
+        # cluster, executors have small per-JVM heaps where G1 is fine).
+        conf.setdefault("spark.driver.extraJavaOptions",
+                        "-XX:+UseParallelGC")
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)

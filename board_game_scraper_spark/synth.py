@@ -334,6 +334,187 @@ def hotness_body(ts_label: str, n: int = 50) -> str:
     return f'<?xml version="1.0"?><items>{items}</items>'
 
 
+# -- bgg_rankings (4 historical HTML layouts, bgg_rankings.py:183-354) ------
+
+ARCHIVE = "https://web.archive.org/web"
+
+
+def archive_url(date14: str, target: str) -> str:
+    """Wayback-machine URL shape (bgg_rankings.py:73-84 _start_urls)."""
+    return f"{ARCHIVE}/{date14}/{target}"
+
+
+def _rankings_game(i: int, date14: str) -> tuple[int, int, str, int, float, float, int]:
+    """(rank, bgg_id, name, year, bayes, avg, votes) — deterministic."""
+    rank = i + 1
+    gid = 1 + _h(f"rkg:{date14}:{i}") % 4000
+    year = 1985 + _h(f"rky:{gid}") % 40
+    bayes = round(5 + (_h(f"rkb:{gid}") % 300) / 100, 2)
+    avg = round(bayes + 0.3, 2)
+    votes = 100 + _h(f"rkv:{gid}") % 9000
+    return rank, gid, f"Ranked Game {gid}", year, bayes, avg, votes
+
+
+def _wayback_nav(date14: str) -> str:
+    """The wm-ipp archive toolbar with prev/next snapshot links
+    (bgg_rankings.py:345-354 follows anchors whose @title parses as a
+    date)."""
+    prev_d = str(int(date14[:8]) - 100) + date14[8:]
+    next_d = str(int(date14[:8]) + 100) + date14[8:]
+    target = "http://boardgamegeek.com/browse/boardgame"
+    return (
+        '<div id="wm-ipp"><table><tr>'
+        f'<td><a title="{prev_d[:4]}-{prev_d[4:6]}-{prev_d[6:8]}" '
+        f'href="{archive_url(prev_d, target)}">prev</a></td>'
+        f'<td><a title="{next_d[:4]}-{next_d[4:6]}-{next_d[6:8]}" '
+        f'href="{archive_url(next_d, target)}">next</a></td>'
+        '<td><a title="not a date" href="/web/help">?</a></td>'
+        "</tr></table></div>"
+    )
+
+
+def rankings_modern_body(date14: str, page: int = 1, n_pages: int = 12,
+                         per_page: int = 100, archived: bool = True) -> str:
+    """Era A: the modern /browse/boardgame table#collectionitems layout
+    (bgg_rankings.py:207-246; contract 100 items / 12 requests)."""
+    rows = []
+    for i in range(per_page):
+        rank, gid, name, year, bayes, avg, votes = _rankings_game(
+            i + (page - 1) * per_page, date14
+        )
+        rows.append(
+            f'<tr id="row_{rank}">'
+            f'<td class="collection_rank">{rank}</td>'
+            f'<td class="collection_thumbnail"><a href="/boardgame/{gid}/g">'
+            f'<img src="https://cf.geekdo-images.com/micro/{gid}.jpg"></a></td>'
+            f'<td class="collection_objectname"><a href="/boardgame/{gid}/'
+            f'ranked-game-{gid}">{name}</a> '
+            f'<span class="smallerfont dull">({year})</span></td>'
+            f'<td class="collection_bggrating">{bayes}</td>'
+            f'<td class="collection_bggrating">{avg}</td>'
+            f'<td class="collection_bggrating">{votes}</td></tr>'
+        )
+    pages = "".join(
+        f'<a title="page {p}" href="/browse/boardgame/page/{p}">{p}</a>'
+        for p in range(1, n_pages + 1) if p != page
+    )
+    nav = _wayback_nav(date14) if archived else ""
+    return (
+        f"<html><body>{nav}<div class='infilter'>{pages}</div>"
+        f'<table id="collectionitems">{"".join(rows)}</table>'
+        "</body></html>"
+    )
+
+
+def rankings_simplebox_body(date14: str, n: int = 50) -> str:
+    """Era B: the rankbrowse.php3 simplebox layout
+    (bgg_rankings.py:247-277: 3-cell rows)."""
+    rows = "".join(
+        '<tr><td>{rank}</td><td><a href="/game/{gid}">{name}</a></td>'
+        "<td>{bayes}</td></tr>".format(
+            rank=r, gid=g, name=n_, bayes=b
+        )
+        for r, g, n_, _y, b, _a, _v in (
+            _rankings_game(i, "B" + date14) for i in range(n)
+        )
+    )
+    return (
+        f"<html><body>{_wayback_nav(date14)}"
+        f'<div class="simplebox"><table><tr><th>Rank</th><th>Game</th>'
+        f"<th>Rating</th></tr>{rows}</table></div></body></html>"
+    )
+
+
+def rankings_gamebrowser_body(date14: str, n: int = 50) -> str:
+    """Era C: the browser.php gamebrowser_table layout
+    (bgg_rankings.py:278-311: 5+-cell rows, image in td2)."""
+    rows = "".join(
+        f'<tr><td>{r}</td>'
+        f'<td><img src="https://cf.geekdo-images.com/gb/{g}.gif"></td>'
+        f'<td><a href="/game/{g}">{name}</a></td>'
+        f"<td>{b}</td><td>{v}</td></tr>"
+        for r, g, name, _y, b, _a, v in (
+            _rankings_game(i, "C" + date14) for i in range(n)
+        )
+    )
+    return (
+        f"<html><body>{_wayback_nav(date14)}"
+        f'<table class="gamebrowser_table"><tr><th>Rank</th><th></th>'
+        f"<th>Game</th><th>Rating</th><th>Votes</th></tr>{rows}</table>"
+        "</body></html>"
+    )
+
+
+def rankings_top50_body(date14: str, n: int = 50) -> str:
+    """Era D: top50.htm / topn.php3 layout (bgg_rankings.py:313-344:
+    header cell contains <h3>Bayesian Average</h3>)."""
+    rows = "".join(
+        f'<tr><td>{r}.</td><td><a href="/game/{g}">{name}</a></td>'
+        f"<td>{b}</td><td>{v}</td></tr>"
+        for r, g, name, _y, b, _a, v in (
+            _rankings_game(i, "D" + date14) for i in range(n)
+        )
+    )
+    return (
+        f"<html><body>{_wayback_nav(date14)}"
+        "<table><tr><td><h3>Rank</h3></td><td><h3>Game</h3></td>"
+        "<td><h3>Bayesian Average</h3></td><td><h3>Votes</h3></td></tr>"
+        f"{rows}</table></body></html>"
+    )
+
+
+# -- bgg_geeklist (bgg_geeklist.py:49-137) ----------------------------------
+
+def geeklist_url(list_id: int = 30543, page: int = 1) -> str:
+    base = f"{BGG}/geeklist/{list_id}/bgg-top-50-statistics-meta-list"
+    return base if page == 1 else f"{base}?page={page}"
+
+
+def geeklist_body(list_id: int, page: int, n_pages: int,
+                  items_per_page: int = 10) -> str:
+    """Geeklist page: data-objecttype='listitem' entries whose title is
+    '<rank>:' + game link, plus embedded child-geeklist links and
+    pagination (bgg_geeklist.py:101-137)."""
+    items = []
+    for i in range(items_per_page):
+        rank = (page - 1) * items_per_page + i + 1
+        gid = 1 + _h(f"gl:{list_id}:{rank}") % 4000
+        if rank % 7 == 0:
+            # every 7th item links a child geeklist, not a game
+            # (parse_geeklist branch, bgg_geeklist.py:76-84)
+            child = list_id + rank
+            items.append(
+                f'<div data-objecttype="listitem" id="item_{rank}">'
+                f'<div class="geeklist_item_title">'
+                f'<a href="/item/{rank}">{rank}:</a> '
+                f'<a href="/geeklist/{child}/child-list-{child}">'
+                f"Child list {child}</a></div></div>"
+            )
+            continue
+        items.append(
+            f'<div data-objecttype="listitem" id="item_{rank}">'
+            f'<div class="geeklist_item_title">'
+            f'<a href="/item/{rank}">{rank}:</a> '
+            f'<a href="/boardgame/{gid}/listed-game-{gid}">Listed Game {gid}'
+            f"</a></div>"
+            f'<a href="/boardgame/{gid}/g"><img alt="Board Game: Listed '
+            f'Game {gid}" src="https://cf.geekdo-images.com/gl/{gid}.jpg">'
+            "</a></div>"
+        )
+    pages = "".join(
+        f'<a title="page {p}" href="/geeklist/{list_id}/'
+        f"bgg-top-50-statistics-meta-list?page={p}\">{p}</a>"
+        for p in range(1, n_pages + 1) if p != page
+    )
+    return (
+        "<html><head><title>BGG Top 50 Statistics from 1 Jan 2010 to "
+        "31 Mar 2010 | BoardGameGeek</title></head>"
+        f'<body><div class="geeklist_title">BGG Top 50 Statistics from '
+        f"1 Jan 2010 to 31 Mar 2010</div>{pages}"
+        f'{"".join(items)}</body></html>'
+    )
+
+
 def luding_body(i: int) -> str:
     return (
         f"<html><body><h1>Luding Game {i}</h1>"
@@ -460,6 +641,47 @@ def extended_corpus(n_entities: int = 20, n_rank_histories: int = 10,
     return pd.DataFrame(pages)
 
 
+def rankings_corpus(dates=("20100215000000", "20100315000000",
+                           "20100415000000"),
+                    per_page: int = 10,
+                    geeklist_id: int = 30543,
+                    geeklist_pages: int = 3,
+                    geeklist_items: int = 8) -> pd.DataFrame:
+    """Pages for the bgg_rankings + bgg_geeklist spiders: a chain of
+    archived /browse/boardgame snapshots linked by wayback-toolbar nav
+    (bgg_rankings.py:345-354), the three legacy layouts, and a paginated
+    geeklist with child lists (bgg_geeklist.py:76-84)."""
+    pages = []
+
+    def add(url, ctype, body):
+        canon = canonicalize_one(url)
+        pages.append({
+            "url_canon": canon, "status": 200, "content_type": ctype,
+            "body": body, "latency_ms": latency_for(canon),
+        })
+
+    target = "http://boardgamegeek.com/browse/boardgame"
+    for d in dates:
+        add(archive_url(d, target), "text/html",
+            rankings_modern_body(d, page=1, n_pages=1, per_page=per_page))
+    add(f"{BGG}/rankbrowse.php3", "text/html",
+        rankings_simplebox_body(dates[0], n=per_page))
+    add(f"{BGG}/browser.php?itemtype=game&sortby=rank", "text/html",
+        rankings_gamebrowser_body(dates[0], n=per_page))
+    add(f"{BGG}/top50.htm", "text/html",
+        rankings_top50_body(dates[0], n=per_page))
+
+    for p in range(1, geeklist_pages + 1):
+        add(geeklist_url(geeklist_id, p), "text/html",
+            geeklist_body(geeklist_id, p, geeklist_pages, geeklist_items))
+    # child geeklists referenced by every 7th item
+    for rank in range(7, geeklist_pages * geeklist_items + 1, 7):
+        child = geeklist_id + rank
+        add(f"{BGG}/geeklist/{child}/child-list-{child}", "text/html",
+            geeklist_body(child, 1, 1, items_per_page=5))
+    return pd.DataFrame(pages)
+
+
 def write_hotness_archive(dir_path, n_files: int = 3) -> list[str]:
     """Archived hotness XML files (S9 local replay,
     bgg_hotness.py:43-74: date comes from the file name)."""
@@ -479,6 +701,13 @@ def write_hotness_archive(dir_path, n_files: int = 3) -> list[str]:
 def callback_kind_for(url_canon: str) -> str:
     """Dispatch column: which parser handles this URL (the reference's
     Request.callback, bgg.py:284-291, as data)."""
+    if "web.archive.org" in url_canon:
+        return "bgg_rankings"
+    if any(p in url_canon for p in ("rankbrowse.php3", "browser.php",
+                                    "top50", "topn.php3")):
+        return "bgg_rankings"
+    if "/geeklist/" in url_canon:
+        return "bgg_geeklist"
     if "/browse/boardgame" in url_canon:
         return "bgg_browse"
     if "/xmlapi2/thing" in url_canon:

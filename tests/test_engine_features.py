@@ -96,3 +96,56 @@ def test_requeue_respects_rescrape_window(spark, tmp_path):
     # and they get scheduled + fetched again on the next round
     m = eng.run_round(last + 1)
     assert m["scheduled"] >= len(ok_urls)
+
+
+def test_ids_seen_rebatches_overlapping_discoveries(spark, tmp_path):
+    """F7 (bgg.py:229-242,256-261): game ids discovered on two
+    overlapping browse pages are fetched exactly once — engine-level
+    re-batching against the ids_seen table, not URL-level dedup (the
+    page-local batch URLs differ, so URL dedup alone double-fetches)."""
+    import pandas as pd
+
+    from board_game_scraper_spark.plans.crawl import CrawlEngine
+
+    def browse(ids):
+        links = "".join(
+            f'<td><a href="/boardgame/{g}/game-{g}">Game {g}</a></td>'
+            for g in ids
+        )
+        return f"<html><body><table>{links}</table></body></html>"
+
+    rows = [
+        ("https://boardgamegeek.com/browse/boardgame/page/1",
+         browse(range(1, 11))),
+        ("https://boardgamegeek.com/browse/boardgame/page/2",
+         browse(range(6, 16))),
+        # corpus thing pages for the REBATCHED id sets (1-10, 11-15)
+        (synth.thing_url(list(range(1, 11))),
+         synth.thing_body(list(range(1, 11)), n_users=3)),
+        (synth.thing_url(list(range(11, 16))),
+         synth.thing_body(list(range(11, 16)), n_users=3)),
+    ]
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            [{"url_canon": u, "status": 200, "content_type": "text/xml",
+              "body": b, "latency_ms": 10} for u, b in rows]
+        ),
+        schemas.PAGES,
+    )
+    seeds = spark.createDataFrame(
+        pd.DataFrame({
+            "url": [rows[0][0], rows[1][0]],
+            "source": ["bgg", "bgg"], "priority": [0, 0],
+        }),
+        schemas.SEEDS,
+    )
+    eng = CrawlEngine(spark, tmp_path / "ids", pages, window_sec=3600.0,
+                      use_bloom=False, use_ids_seen=True)
+    eng.seed(seeds)
+    eng.crawl(2)
+    games = eng.games.read()
+    # 15 distinct ids, each parsed exactly once (no 6-10 double fetch)
+    assert games.count() == 15
+    assert games.select("bgg_id").distinct().count() == 15
+    ids_seen = {r["bgg_id"] for r in eng.ids_seen.read().collect()}
+    assert ids_seen == set(range(1, 16))

@@ -211,3 +211,53 @@ def test_extended_crawl_wikidata(spark, tmp_path):
     games = eng.games.read()
     assert games.count() == 8
     assert games.where(F.col("name").startswith("WD Game")).count() == 8
+
+
+def test_labels_dim_and_resolve(spark, tmp_path):
+    """C13 (pipelines.py:61-143): crawl wikidata entity pages, build the
+    labels dim, resolve designer Q-ids on wikidata-sourced game items."""
+    from board_game_scraper_spark import schemas
+    from board_game_scraper_spark.operators.labels import (
+        build_labels_dim,
+        resolve_labels,
+    )
+
+    # entity pages: Q201..Q220 (extended_corpus page-1 ids)
+    pages = spark.createDataFrame(
+        synth.extended_corpus(n_entities=8), schemas.PAGES
+    )
+    ent_pages = pages.where(F.col("url_canon").contains("EntityData"))
+    dim = build_labels_dim(ent_pages)
+    rows = {r["qid"]: r["labels"] for r in dim.collect()}
+    # synth labels: en + de, en first per RESOLVE_LABEL_LANGUAGE_PRIORITIES
+    assert rows["Q201"] == ["WD Game 201", "WD Spiel 201"]
+
+    # wikidata-parsed games carry designer Q-ids (P287, parse.py):
+    parsed = [
+        parse_wikidata_entity(r["url_canon"], r["body"])
+        for r in ent_pages.collect()
+    ]
+    games = [g for p in parsed for g in p["games"]]
+    assert all(
+        g["designer"] and g["designer"][0].startswith("Q") for g in games
+    )
+    items = spark.createDataFrame(
+        [(g["url"], g["designer"]) for g in games],
+        "url string, designer array<string>",
+    )
+    resolved = resolve_labels(items, dim, key_col="url",
+                              fields=("designer",))
+    out = {r["url"]: r["designer"] for r in resolved.collect()}
+    # each resolved designer Q-id (Q9000+) is NOT in the dim → dropped;
+    # plant one resolvable id to check substitution + order
+    items2 = spark.createDataFrame(
+        [("u1", ["Q201", "Q999", "Q202"]), ("u2", None), ("u3", [])],
+        "url string, designer array<string>",
+    )
+    out2 = {r["url"]: r["designer"]
+            for r in resolve_labels(items2, dim, "url",
+                                    ("designer",)).collect()}
+    assert out2["u1"] == ["WD Game 201", "WD Spiel 201",
+                          "WD Game 202", "WD Spiel 202"]
+    assert out2["u2"] is None and out2["u3"] is None
+    assert len(out) == len(games)

@@ -48,3 +48,34 @@ def test_filter_unseen_matches_set_oracle(spark, tmp_path):
     bloom.add(seen)
     got2 = {r["url_hash"] for r in filter_unseen(cand, seen, bloom).collect()}
     assert got2 == expected
+
+
+def test_snapshot_bloom_matches_set_oracle(spark, tmp_path):
+    """Cluster-safe bloom (SnapshotTable rows + cogroup applyInPandas):
+    identical membership semantics to the exact path, including
+    incremental adds touching only their shards."""
+    from board_game_scraper_spark.plans.seen import SnapshotBloom
+
+    seen1 = spark.range(0, 120, 3).select(F.col("id").alias("url_hash"))
+    seen2 = spark.range(120, 200, 3).select(F.col("id").alias("url_hash"))
+    seen = seen1.union(seen2)
+    cand = spark.range(200).select(F.col("id").alias("url_hash"))
+    expected = {i for i in range(200) if i % 3 != 0}
+
+    bloom = SnapshotBloom(spark, tmp_path / "sb", n_shards=4,
+                          shard_capacity=1000)
+    bloom.add(seen1)
+    bloom.add(seen2)  # incremental delta append
+    got = {r["url_hash"] for r in filter_unseen(cand, seen, bloom).collect()}
+    assert got == expected
+    # merge-on-read: two adds → per-shard version history, latest wins
+    assert bloom.table.current_snapshot()["id"] == 2
+    bloom.compact()
+    got2 = {r["url_hash"] for r in
+            filter_unseen(cand, seen, bloom).collect()}
+    assert got2 == expected
+    # definite-new rows (bloom miss) bypass the exact join entirely
+    flagged = bloom.prefilter(cand)
+    maybe = {r["url_hash"] for r in
+             flagged.where("maybe_seen").collect()}
+    assert {i for i in range(200) if i % 3 == 0} <= maybe
