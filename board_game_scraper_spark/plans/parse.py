@@ -445,13 +445,19 @@ def parse_collection(url_canon: str, body: str) -> dict:
             "discovered": []}
 
 
-def _parse_simple_game(url_canon: str, body: str, source: str) -> dict:
-    """luding.py:52-107 / spielen.py:80-183: 1 item, 0 requests."""
-    h1 = _RE_H1.search(body)
-    name = clean_text_one(h1.group(1)) if h1 else None
-    pm = _RE_PLAYERS.search(body[h1.end():] if h1 else body)
-    lo = _int(pm.group(1)) if pm else None
-    hi = _int(pm.group(3)) if pm and pm.group(3) else lo
+def _interval(text: str | None) -> tuple[int | None, int | None]:
+    """spielen.py:16-27 _parse_interval: '2 - 4' → (2, 4); '3' → (3, 3)."""
+    if not text:
+        return None, None
+    m = _RE_PLAYERS.search(text)
+    if not m:
+        return None, None
+    lo = _int(m.group(1))
+    hi = _int(m.group(3)) if m.group(3) else lo
+    return lo, hi
+
+
+def _simple_game_row(url_canon: str, **kw) -> dict:
     game = {k: None for k in (
         "bgg_id", "alt_name", "year", "description", "designer", "artist",
         "publisher", "image_url", "video_url", "min_players_rec",
@@ -460,19 +466,174 @@ def _parse_simple_game(url_canon: str, body: str, source: str) -> dict:
         "mechanic", "cooperative", "compilation", "compilation_of", "family",
         "expansion", "implementation", "integration", "rank", "add_rank",
         "num_votes", "avg_rating", "stddev_rating", "bayes_rating",
-        "complexity", "language_dependency", "published_at")}
-    game.update(
-        {
-            "name": name,
-            "url": url_canon,
-            "min_players": _validate_range(lo, 1, None),
-            "max_players": _validate_range(hi, 1, None),
-            "scraped_at": SCRAPED_AT,
-        }
+        "complexity", "language_dependency", "published_at",
+        "min_players", "max_players", "name")}
+    game.update({"url": url_canon, "scraped_at": SCRAPED_AT})
+    game.update(kw)
+    return game
+
+
+def parse_luding(url_canon: str, body: str) -> dict:
+    """luding.py:52-107 parse_game: labeled-table-row extraction over the
+    stdlib DOM engine (E2) — name, year, description, designer/artist/
+    publisher links, players interval, age, image."""
+    from ..functions.html import parse_html
+
+    doc = parse_html(body)
+    h1 = doc.select_first("h1")
+    name = clean_text_one(h1.text()) if h1 else None
+
+    def row_cell(label: str):
+        for tr in doc.select("table tr"):
+            tds = tr.child_elements("td")
+            if len(tds) >= 2 and tds[0].text() == label:
+                return tds[1]
+        return None
+
+    def cell_text(label: str):
+        cell = row_cell(label)
+        return clean_text_one(cell.text()) if cell is not None else None
+
+    def cell_links(label: str):
+        cell = row_cell(label)
+        if cell is None:
+            return None
+        vals = [clean_text_one(a.text()) for a in cell.select("a")]
+        return [v for v in vals if v] or None
+
+    players = cell_text("No. of players:")
+    lo, hi = _interval(players)
+    age = _lenient_int(cell_text("Age:"))
+    images = [img.get("src") for img in doc.select("table img")
+              if img.get("src")]
+    images = [_urljoin(url_canon, i) for i in images]
+    game = _simple_game_row(
+        url_canon,
+        name=name,
+        year=_lenient_int(cell_text("Year:")),
+        description=cell_text("Box text:"),
+        designer=cell_links("Designer:"),
+        artist=cell_links("Art:"),
+        publisher=cell_links("Publisher name:"),
+        image_url=images or None,
+        min_players=_validate_range(lo, 1, None),
+        max_players=_validate_range(hi, 1, None),
+        min_age=_validate_range(age, 0, 21),
     )
     spans = [_span("text", 0, text=name)]
-    if pm:
-        spans.append(_span("text", 1, text=clean_text_one(pm.group(0))))
+    if game["description"]:
+        spans.append(_span("text", len(spans), text=game["description"]))
+    for i in images:
+        spans.append(_span("image", len(spans), media_ref=i))
+    return {"spans": spans, "games": [game], "users": [], "ratings": [],
+            "discovered": []}
+
+
+def parse_spielen(url_canon: str, body: str) -> dict:
+    """spielen.py:80-183 parse_game: fullBox labeled-div pairs, rating
+    spans, complexity-dot counting — on the stdlib DOM engine (E2)."""
+    from ..functions.html import parse_html
+
+    doc = parse_html(body)
+    box = doc.select_first("div.fullBox") or doc
+    h2 = box.select_first("h2")
+    name = clean_text_one(h2.text()) if h2 else None
+    # description = text siblings after the h2
+    # (.//h2/following-sibling::text())
+    desc = None
+    if h2 is not None and h2.parent is not None:
+        sib = h2.parent.children
+        texts = [c for c in sib[sib.index(h2) + 1:] if isinstance(c, str)]
+        desc = clean_text_one(" ".join(texts)) or None
+
+    def labeled_div(*labels):
+        """div[b = "Label"]/following-sibling::div."""
+        for d in box.select("div"):
+            bs = d.child_elements("b")
+            if bs and bs[0].text() in labels:
+                parent = d.parent
+                kids = parent.child_elements() if parent else []
+                idx = kids.index(d)
+                if idx + 1 < len(kids) and kids[idx + 1].tag == "div":
+                    return kids[idx + 1]
+        return None
+
+    def labeled_text(*labels):
+        cell = labeled_div(*labels)
+        return clean_text_one(cell.text()) if cell is not None else None
+
+    lo_p, hi_p = _interval(labeled_text("Spieler:"))
+    lo_t, hi_t = _interval(labeled_text("Dauer:"))
+    age = _lenient_int(labeled_text("Alter:"))
+    pub_div = labeled_div("Verlag:", "Verlage:")
+    publishers = (
+        [clean_text_one(a.text()) for a in pub_div.select("a")]
+        if pub_div is not None else None
+    )
+    images = [i for i in (
+        [img.get("data-src") for img in box.select("img")][:1]
+        + [img.get("data-large-src")
+           for img in box.select("div.screenshotlist img")]
+    ) if i]
+    images = [_urljoin(url_canon, i) for i in images]
+    videos = [
+        _urljoin(url_canon, f.get("src") or f.get("data-src"))
+        for f in box.select("iframe")
+        if f.get("src") or f.get("data-src")
+    ]
+    votes_el = box.select_first("span.votes")
+    avg_el = box.select_first("span.average")
+    # complexity = dots before the red marker + 1 (spielen.py:171-177)
+    complexity = None
+    comp_div = None
+    for d in box.select("div"):
+        if d.text() != "Komplexität:" or d.parent is None:
+            continue
+        kids = d.parent.child_elements()
+        idx = kids.index(d)
+        nxt = kids[idx + 1] if idx + 1 < len(kids) else None
+        if nxt is not None and nxt.tag == "div" and nxt.select("span"):
+            comp_div = nxt
+            break
+    if comp_div is not None:
+        spans_el = comp_div.child_elements("span")
+        n_before = 0
+        for s in spans_el:
+            if "red" in s.classes:
+                break
+            n_before += 1
+        complexity = float(n_before + 1)
+
+    game = _simple_game_row(
+        url_canon,
+        name=name,
+        description=desc,
+        year=_lenient_int(labeled_text("Erscheinungsjahr:")),
+        designer=[labeled_text("Autor:", "Autoren:")]
+        if labeled_text("Autor:", "Autoren:") else None,
+        artist=[labeled_text("Illustrator:", "Illustratoren:")]
+        if labeled_text("Illustrator:", "Illustratoren:") else None,
+        publisher=[p for p in publishers or [] if p] or None,
+        family=[labeled_text("Spielfamilie:", "Spielfamilien:")]
+        if labeled_text("Spielfamilie:", "Spielfamilien:") else None,
+        image_url=images or None,
+        video_url=videos or None,
+        min_players=_validate_range(lo_p, 1, None),
+        max_players=_validate_range(hi_p, 1, None),
+        min_time=_validate_range(lo_t, 1, None),
+        max_time=_validate_range(hi_t, 1, None),
+        min_age=_validate_range(age, 0, 21),
+        num_votes=_lenient_int(votes_el.text()) if votes_el else None,
+        avg_rating=_float(avg_el.text()) if avg_el else None,
+        complexity=complexity,
+    )
+    spans = [_span("text", 0, text=name)]
+    if desc:
+        spans.append(_span("text", len(spans), text=desc))
+    for i in images:
+        spans.append(_span("image", len(spans), media_ref=i))
+    for v in videos:
+        spans.append(_span("video", len(spans), media_ref=v))
     return {"spans": spans, "games": [game], "users": [], "ratings": [],
             "discovered": []}
 
@@ -1004,8 +1165,8 @@ PARSERS = {
     "bgg_thing": parse_thing,
     "bgg_user": parse_user,
     "bgg_collection": parse_collection,
-    "luding_game": lambda u, b: _parse_simple_game(u, b, "luding"),
-    "spielen_game": lambda u, b: _parse_simple_game(u, b, "spielen"),
+    "luding_game": parse_luding,
+    "spielen_game": parse_spielen,
     "wikidata_entity": parse_wikidata_entity,
     "wikidata_sparql": parse_sparql,
     "bgg_rank_history": parse_rank_history,
@@ -1196,12 +1357,19 @@ def parse_flat_batches(batches):
         yield emit(rows)
 
 
-def run_parse_flat(fetched, target_partitions: int | None = None):
+def run_parse_flat(fetched, target_partitions: int | None = 0):
     """fetched (ALL statuses) → PARSE_FLAT DataFrame — the crawl loop's
     single fused parse pass.  Designed to be written ONCE: no nested
     page-level arrays for items, and per-URL 'fetch' rows ride along so
     every downstream consumer (item tables, metrics, retries, discovery)
-    is a cheap filtered read of the one scratch parquet."""
+    is a cheap filtered read of the one scratch parquet.
+
+    ``target_partitions=0`` (default): NO repartition — the fetch stage
+    is a broadcast semi-join over the corpus scan, so the input already
+    has scan-width partitioning and repartitioning would shuffle every
+    page body (the exact exchange the broadcast fetch exists to avoid).
+    Pass an explicit width only when the input is known to be skewed or
+    narrower than the cluster."""
     from ..schemas import PARSE_FLAT
 
     src = fetched.select(

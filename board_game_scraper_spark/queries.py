@@ -865,8 +865,9 @@ def q_labels_resolve(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Rows-only entries (genuinely non-SQL-expressible; driver records a
-# weaker rows-only check)
+# Formerly rows-only entries, now fully oracled: the IVF index build is
+# reproducible in SQL (id-stratified seeds + quantized means), and the
+# fake media decoder is sha256-based, so DuckDB recomputes it exactly.
 # ---------------------------------------------------------------------------
 
 def q_ann_ivf_topk(spark, sf_dir):

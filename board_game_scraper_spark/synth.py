@@ -516,19 +516,56 @@ def geeklist_body(list_id: int, page: int, n_pages: int,
 
 
 def luding_body(i: int) -> str:
+    """GameData.py page shape (luding.py:52-107: labeled table rows)."""
     return (
         f"<html><body><h1>Luding Game {i}</h1>"
-        f"<table><tr><td>Year</td><td>{1980 + i % 45}</td></tr>"
-        f"<tr><td>Players</td><td>{1 + i % 4} - {2 + i % 6}</td></tr>"
+        "<table>"
+        f"<tr><td>Year:</td><td>{1980 + i % 45}</td></tr>"
+        "<tr><td>Type:</td><td>Board Game</td></tr>"
+        f"<tr><td>Box text:</td><td>Box text of game {i}.</td></tr>"
+        f'<tr><td>Designer:</td><td><a href="/d/{i % 20}">'
+        f"Designer {i % 20}</a></td></tr>"
+        f'<tr><td>Art:</td><td><a href="/a/{i % 15}">Artist {i % 15}</a>'
+        "</td></tr>"
+        f'<tr><td>Publisher name:</td><td><a href="/p/{i % 10}">'
+        f"Publisher {i % 10}</a></td></tr>"
+        f"<tr><td>No. of players:</td><td>{1 + i % 4}-{2 + i % 6}</td></tr>"
+        f"<tr><td>Age:</td><td>from {6 + i % 10} years</td></tr>"
+        f'<tr><td><img src="/img/luding{i}.png"></td></tr>'
         "</table></body></html>"
     )
 
 
 def spielen_body(i: int) -> str:
+    """fullBox page shape (spielen.py:80-183: labeled div pairs, rating
+    spans, complexity dots)."""
+    c = 1 + i % 5
+    dots = "".join(
+        '<span class="dot"></span>' for _ in range(c - 1)
+    ) + '<span class="red dot"></span>' + "".join(
+        '<span class="dot"></span>' for _ in range(5 - c)
+    )
     return (
-        f'<html><body><div class="fullBox"><h1>Spiel {i}</h1>'
-        f"<p>{1 + i % 4} - {2 + i % 6} Spieler</p>"
-        f"<p>ab {6 + i % 10} Jahren</p></div></body></html>"
+        '<html><body><div class="fullBox">'
+        f"<h2>Spiel {i}</h2>Ein spannendes   Spiel Nummer {i}."
+        f'<div><div><b>Autor:</b></div><div>Autor {i % 20}</div></div>'
+        f"<div><div><b>Illustrator:</b></div><div>Maler {i % 15}</div></div>"
+        f'<div><div><b>Verlag:</b></div><div><a href="/verlag/{i % 10}">'
+        f"Verlag {i % 10}</a></div></div>"
+        f"<div><div><b>Erscheinungsjahr:</b></div>"
+        f"<div>{1980 + i % 40}</div></div>"
+        f"<div><div><b>Spieler:</b></div>"
+        f"<div>{1 + i % 4} - {2 + i % 6} Spieler</div></div>"
+        f"<div><div><b>Alter:</b></div><div>ab {6 + i % 10} Jahren</div></div>"
+        f"<div><div><b>Dauer:</b></div>"
+        f"<div>{30 + i % 60} - {45 + i % 60} Minuten</div></div>"
+        f'<div><div><b>Spielfamilie:</b></div><div>Familie {i % 8}</div></div>'
+        f'<img data-src="/img/spiel{i}.jpg">'
+        f'<iframe src="https://video.example/v{i}"></iframe>'
+        f'<span class="votes">{10 + i % 90}</span>'
+        f'<span class="average">{round(1 + (i % 40) / 10, 1)}</span>'
+        f"<div><div>Komplexität:</div><div>{dots}</div></div>"
+        "</div></body></html>"
     )
 
 

@@ -261,3 +261,37 @@ def test_labels_dim_and_resolve(spark, tmp_path):
                           "WD Game 202", "WD Spiel 202"]
     assert out2["u2"] is None and out2["u3"] is None
     assert len(out) == len(games)
+
+
+def test_luding_spielen_full_extraction():
+    """E2 upgrade: labeled-row/labeled-div extraction on the stdlib DOM
+    (luding.py:52-107, spielen.py:80-183) — full field parity."""
+    from board_game_scraper_spark.plans.parse import (
+        parse_luding,
+        parse_spielen,
+    )
+
+    g = parse_luding(synth.luding_url(7), synth.luding_body(7))["games"][0]
+    assert g["name"] == "Luding Game 7"
+    assert g["year"] == 1987
+    assert g["description"] == "Box text of game 7."
+    assert g["designer"] == ["Designer 7"]
+    assert g["artist"] == ["Artist 7"]
+    assert g["publisher"] == ["Publisher 7"]
+    assert g["min_age"] == 13
+    assert g["image_url"] == ["https://www.luding.org/img/luding7.png"]
+
+    r = parse_spielen(synth.spielen_url(9), synth.spielen_body(9))
+    g2 = r["games"][0]
+    assert g2["name"] == "Spiel 9"
+    assert g2["year"] == 1989
+    assert g2["designer"] == ["Autor 9"]
+    assert g2["publisher"] == ["Verlag 9"]
+    assert g2["family"] == [f"Familie {9 % 8}"]
+    assert (g2["min_time"], g2["max_time"]) == (39, 54)
+    assert g2["num_votes"] == 19
+    assert g2["avg_rating"] == 1.9
+    assert g2["complexity"] == 1 + 9 % 5
+    # interleaved text+image+video spans (input_hint shape)
+    kinds = [s["kind"] for s in r["spans"]]
+    assert kinds == ["text", "text", "image", "video"]
