@@ -49,6 +49,13 @@ def callback_kind_col(url_canon):
             F.lit("bgg_rankings"),
         )
         .when(url_canon.contains("/geeklist/"), F.lit("bgg_geeklist"))
+        .when(
+            url_canon.contains("dbpedia.org/sparql")
+            & url_canon.contains("%3Fproperty"),
+            F.lit("dbpedia_game"),
+        )
+        .when(url_canon.contains("dbpedia.org/sparql"),
+              F.lit("dbpedia_games"))
         .when(url_canon.contains("/browse/boardgame"), F.lit("bgg_browse"))
         .when(url_canon.contains("/xmlapi2/thing"), F.lit("bgg_thing"))
         .when(url_canon.contains("/xmlapi2/user"), F.lit("bgg_user"))

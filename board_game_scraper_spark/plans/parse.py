@@ -1160,6 +1160,143 @@ def parse_bgg_geeklist(url_canon: str, body: str) -> dict:
             "discovered": discovered}
 
 
+def parse_dbpedia_games(url_canon: str, body: str) -> dict:
+    """dbpedia.py:341-373 parse_games: game-URI bindings → one
+    property-table SPARQL request per game (callback dbpedia_game)."""
+    from ..synth import dbpedia_game_url
+
+    root = ET.fromstring(body)
+    spans, discovered = [], []
+    for b in root.iter(f"{_SPARQL_NS}binding"):
+        if b.get("name") != "game":
+            continue
+        uri_el = b.find(f"{_SPARQL_NS}uri")
+        if uri_el is None or not uri_el.text:
+            continue
+        m = re.search(r"/resource/Game_(\d+)$", uri_el.text)
+        if not m:
+            continue
+        g = int(m.group(1))
+        discovered.append({"url": dbpedia_game_url(g), "priority": 0,
+                           "callback_kind": "dbpedia_game"})
+        spans.append(_span("text", len(spans), text=uri_el.text))
+    return {"spans": spans, "games": [], "users": [], "ratings": [],
+            "discovered": discovered}
+
+
+def _dbp_bindings(body: str):
+    """(property, value_text, value_uri, value_lang, label, label_lang)
+    per result row."""
+    root = ET.fromstring(body)
+    rows = []
+    for res in root.iter(f"{_SPARQL_NS}result"):
+        prop = val = uri = lang = label = label_lang = None
+        for b in res.findall(f"{_SPARQL_NS}binding"):
+            name = b.get("name")
+            u = b.find(f"{_SPARQL_NS}uri")
+            lit = b.find(f"{_SPARQL_NS}literal")
+            if name == "property" and u is not None:
+                prop = u.text
+            elif name == "value":
+                if u is not None:
+                    uri = u.text
+                elif lit is not None:
+                    val = lit.text
+                    lang = lit.get(
+                        "{http://www.w3.org/XML/1998/namespace}lang")
+            elif name == "label" and lit is not None:
+                label = lit.text
+                label_lang = lit.get(
+                    "{http://www.w3.org/XML/1998/namespace}lang")
+        if prop:
+            rows.append((prop, val, uri, lang, label, label_lang))
+    return rows
+
+
+def parse_dbpedia_game(url_canon: str, body: str) -> dict:
+    """dbpedia.py:375-521 parse_game: fold the property table into one
+    GameItem — per field, a property-preference list with en-first
+    language fallback (the reference's stacked add_xpath calls +
+    TakeFirst loader semantics)."""
+    rows = _dbp_bindings(body)
+
+    def literals(prop, lang=None):
+        return [clean_text_one(v) for p, v, _u, lg, _l, _ll in rows
+                if p == prop and v and (lang is None or lg == lang)]
+
+    def labels(prop, lang=None):
+        return [clean_text_one(lb) for p, _v, _u, _lg, lb, ll in rows
+                if p == prop and lb and (lang is None or ll == lang)]
+
+    def uris(prop):
+        return [u for p, _v, u, _lg, _l, _ll in rows if p == prop and u]
+
+    def first(*cands):
+        for c in cands:
+            if c:
+                return c[0]
+        return None
+
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#label"
+    FOAF_NAME = "http://xmlns.com/foaf/0.1/name"
+    DBP_NAME = "http://dbpedia.org/property/name"
+    name = first(
+        literals(RDFS, "en"), literals(FOAF_NAME, "en"),
+        literals(DBP_NAME, "en"),
+        literals(RDFS), literals(FOAF_NAME), literals(DBP_NAME),
+    )
+    alt = []
+    for p in (RDFS, FOAF_NAME, DBP_NAME):
+        for v in literals(p):
+            if v and v not in alt:
+                alt.append(v)
+    desc = first(
+        literals("http://dbpedia.org/ontology/abstract", "en"),
+        literals("http://www.w3.org/2000/01/rdf-schema#comment", "en"),
+        literals("http://dbpedia.org/ontology/abstract"),
+        literals("http://www.w3.org/2000/01/rdf-schema#comment"),
+    )
+    year = _lenient_int(first(
+        literals("http://dbpedia.org/property/date"),
+        literals("http://dbpedia.org/property/years"),
+    ))
+    designer = (labels("http://dbpedia.org/ontology/designer", "en")
+                or labels("http://dbpedia.org/ontology/designer")) or None
+    publisher = (labels("http://dbpedia.org/ontology/publisher", "en")
+                 or labels("http://dbpedia.org/ontology/publisher")) or None
+    images = (
+        uris("http://xmlns.com/foaf/0.1/depiction")
+        + uris("http://dbpedia.org/ontology/thumbnail")
+        + uris("http://dbpedia.org/property/imageLink")
+    ) or None
+    bgg_id = _lenient_int(first(
+        literals("http://dbpedia.org/property/bggid")))
+    game = _game_row(
+        bgg_id=bgg_id,
+        name=name,
+        alt_name=alt or None,
+        year=_validate_range(year, -4000, 2035),
+        description=desc,
+        designer=designer,
+        publisher=publisher,
+        image_url=images,
+        min_players=_validate_range(
+            _lenient_int(first(
+                literals("http://dbpedia.org/property/players"))), 1, None),
+        min_age=_validate_range(
+            _lenient_int(first(
+                literals("http://dbpedia.org/property/ages"))), 0, 21),
+        url=url_canon,
+    )
+    spans = [_span("text", 0, text=name)]
+    if desc:
+        spans.append(_span("text", len(spans), text=desc))
+    for i in images or []:
+        spans.append(_span("image", len(spans), media_ref=i))
+    return {"spans": spans, "games": [game], "users": [], "ratings": [],
+            "discovered": []}
+
+
 PARSERS = {
     "bgg_browse": parse_browse,
     "bgg_thing": parse_thing,
@@ -1173,6 +1310,8 @@ PARSERS = {
     "bgg_hotness": parse_hotness,
     "bgg_rankings": parse_bgg_rankings,
     "bgg_geeklist": parse_bgg_geeklist,
+    "dbpedia_games": parse_dbpedia_games,
+    "dbpedia_game": parse_dbpedia_game,
 }
 
 

@@ -804,6 +804,44 @@ def q_geeklist_extract(spark, sf_dir):
     )
 
 
+def q_dbpedia_extract(spark, sf_dir):
+    """dbpedia property-table fold (dbpedia.py:375-521): the synthetic
+    SPARQL-XML generator is the planted ground truth — the kernel builds
+    each page from the key and runs the REAL parser; the oracle
+    recomputes the expected fields directly."""
+    from .plans.parse import parse_dbpedia_game
+    from .synth import dbpedia_game_body
+
+    cust = _t(spark, sf_dir, "customer")
+    src = cust.select("c_custkey")
+
+    def _kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["c_custkey"]:
+                k = int(k)
+                g = parse_dbpedia_game(
+                    f"dbp://{k}", dbpedia_game_body(k)
+                )["games"][0]
+                rows.append((k, g["bgg_id"], g["name"], g["year"],
+                             g["designer"][0], g["publisher"][0],
+                             g["min_players"], g["min_age"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["c_custkey", "bgg_id", "name", "year",
+                         "designer", "publisher", "min_players",
+                         "min_age"],
+            )
+
+    return src.mapInPandas(
+        _kernel,
+        "c_custkey long, bgg_id long, name string, year int, "
+        "designer string, publisher string, min_players int, min_age int",
+    )
+
+
 def q_entity_resolution(spark, sf_dir):
     """J5 entity resolution (reference cluster.py:187-337) through the
     real operator pipeline: exact-id edges + blocked fuzzy-name edges +
@@ -949,6 +987,7 @@ QUERIES = {
     "union_distinct": q_union_distinct,
     "rankings_extract": q_rankings_extract,
     "geeklist_extract": q_geeklist_extract,
+    "dbpedia_extract": q_dbpedia_extract,
     "entity_resolution": q_entity_resolution,
     "labels_resolve": q_labels_resolve,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1360,6 +1399,17 @@ ORACLES = {
                'Game ' || c_custkey AS name
         FROM customer
         WHERE c_custkey % 100 <> 0
+    """,
+    "dbpedia_extract": """
+        SELECT c_custkey,
+               c_custkey AS bgg_id,
+               'DBp Game ' || c_custkey AS name,
+               CAST(1985 + c_custkey % 40 AS INT) AS year,
+               'Designer ' || (c_custkey % 20) AS designer,
+               'Publisher ' || (c_custkey % 10) AS publisher,
+               CAST(1 + c_custkey % 4 AS INT) AS min_players,
+               CAST(6 + c_custkey % 10 AS INT) AS min_age
+        FROM customer
     """,
     # planted components {2k, 2k+1, 10^7+k} → canonical = min = 2k
     "entity_resolution": """

@@ -463,6 +463,118 @@ def rankings_top50_body(date14: str, n: int = 50) -> str:
     )
 
 
+# -- dbpedia (dbpedia.py:303-521) --------------------------------------------
+
+DBPEDIA_SPARQL = "http://dbpedia.org/sparql"
+_SPARQL_NS_URI = "http://www.w3.org/2005/sparql-results#"
+
+
+def dbpedia_game_uri(g: int) -> str:
+    return f"http://dbpedia.org/resource/Game_{g}"
+
+
+def dbpedia_games_url(game_type: str) -> str:
+    """Type → game-list SPARQL query URL (dbpedia.py:342-346)."""
+    q = f"SELECT DISTINCT ?game WHERE {{ ?game a <{game_type}> . }}"
+    return f"{DBPEDIA_SPARQL}?{urlencode(sorted({'query': q, 'format': 'text/xml'}.items()))}"
+
+
+def dbpedia_game_url(g: int) -> str:
+    """Game URI → property-table SPARQL query URL (dbpedia.py:356-372)."""
+    q = (
+        f"SELECT ?property ?value ?label WHERE {{ <{dbpedia_game_uri(g)}> "
+        "?property ?value . OPTIONAL { ?value "
+        "<http://www.w3.org/2000/01/rdf-schema#label> ?label . } }"
+    )
+    return f"{DBPEDIA_SPARQL}?{urlencode(sorted({'query': q, 'format': 'text/xml'}.items()))}"
+
+
+def dbpedia_games_body(game_type: str, n: int) -> str:
+    rows = "".join(
+        f'<result><binding name="game"><uri>{dbpedia_game_uri(g)}</uri>'
+        "</binding></result>"
+        for g in range(1, n + 1)
+    )
+    return (
+        f'<?xml version="1.0"?><sparql xmlns="{_SPARQL_NS_URI}">'
+        f'<head><variable name="game"/></head><results>{rows}</results>'
+        "</sparql>"
+    )
+
+
+def dbpedia_game_body(g: int) -> str:
+    """Property/value/label bindings in the shapes dbpedia.py:375-521
+    extracts (en + non-en labels, uri values with labels, literals)."""
+
+    def row(prop, value=None, lang=None, uri=None, label=None,
+            label_lang="en"):
+        if uri is not None:
+            v = f'<binding name="value"><uri>{uri}</uri></binding>'
+        else:
+            lang_attr = f' xml:lang="{lang}"' if lang else ""
+            v = (f'<binding name="value"><literal{lang_attr}>{value}'
+                 "</literal></binding>")
+        lbl = (
+            f'<binding name="label"><literal xml:lang="{label_lang}">'
+            f"{label}</literal></binding>" if label else ""
+        )
+        return (
+            f'<result><binding name="property"><uri>{prop}</uri></binding>'
+            f"{v}{lbl}</result>"
+        )
+
+    year = 1985 + g % 40
+    rows = [
+        row("http://www.w3.org/2000/01/rdf-schema#label",
+            f"DBp Game {g}", lang="en"),
+        row("http://www.w3.org/2000/01/rdf-schema#label",
+            f"DBp Spiel {g}", lang="de"),
+        row("http://dbpedia.org/ontology/abstract",
+            f"Abstract of game {g}.", lang="en"),
+        row("http://dbpedia.org/property/date", str(year)),
+        row("http://dbpedia.org/ontology/designer",
+            uri=f"http://dbpedia.org/resource/Designer_{g % 20}",
+            label=f"Designer {g % 20}"),
+        row("http://dbpedia.org/ontology/publisher",
+            uri=f"http://dbpedia.org/resource/Publisher_{g % 10}",
+            label=f"Publisher {g % 10}"),
+        row("http://xmlns.com/foaf/0.1/depiction",
+            uri=f"http://commons.wikimedia.org/wiki/Special:FilePath/"
+                f"Game_{g}.jpg"),
+        row("http://dbpedia.org/property/players", str(1 + g % 4)),
+        row("http://dbpedia.org/property/ages", str(6 + g % 10)),
+        row("http://dbpedia.org/property/bggid", str(g)),
+        row("http://www.w3.org/2002/07/owl#sameAs",
+            uri=f"https://www.wikidata.org/wiki/Q{100000 + g}"),
+        row("http://dbpedia.org/ontology/wikiPageExternalLink",
+            uri=f"https://example.com/game{g}"),
+    ]
+    return (
+        f'<?xml version="1.0"?><sparql xmlns="{_SPARQL_NS_URI}">'
+        '<head><variable name="property"/><variable name="value"/>'
+        '<variable name="label"/></head>'
+        f'<results>{"".join(rows)}</results></sparql>'
+    )
+
+
+def dbpedia_corpus(game_type: str = "http://dbpedia.org/ontology/BoardGame",
+                   n_games: int = 12) -> pd.DataFrame:
+    pages = []
+
+    def add(url, body):
+        canon = canonicalize_one(url)
+        pages.append({
+            "url_canon": canon, "status": 200,
+            "content_type": "application/sparql-results+xml",
+            "body": body, "latency_ms": latency_for(canon),
+        })
+
+    add(dbpedia_games_url(game_type), dbpedia_games_body(game_type, n_games))
+    for g in range(1, n_games + 1):
+        add(dbpedia_game_url(g), dbpedia_game_body(g))
+    return pd.DataFrame(pages)
+
+
 # -- bgg_geeklist (bgg_geeklist.py:49-137) ----------------------------------
 
 def geeklist_url(list_id: int = 30543, page: int = 1) -> str:
@@ -745,6 +857,9 @@ def callback_kind_for(url_canon: str) -> str:
         return "bgg_rankings"
     if "/geeklist/" in url_canon:
         return "bgg_geeklist"
+    if "dbpedia.org/sparql" in url_canon:
+        return ("dbpedia_game" if "%3Fproperty" in url_canon
+                else "dbpedia_games")
     if "/browse/boardgame" in url_canon:
         return "bgg_browse"
     if "/xmlapi2/thing" in url_canon:

@@ -295,3 +295,47 @@ def test_luding_spielen_full_extraction():
     # interleaved text+image+video spans (input_hint shape)
     kinds = [s["kind"] for s in r["spans"]]
     assert kinds == ["text", "text", "image", "video"]
+
+
+def test_dbpedia_spider_contract_and_crawl(spark, tmp_path):
+    """dbpedia spider (dbpedia.py:341-521): games-list query discovers
+    one property-table request per game (items 0 / requests N), each
+    folding into a GameItem; end-to-end through the BSP loop."""
+    import pandas as pd
+
+    from board_game_scraper_spark import schemas
+    from board_game_scraper_spark.plans.crawl import CrawlEngine
+    from board_game_scraper_spark.plans.parse import (
+        parse_dbpedia_game,
+        parse_dbpedia_games,
+    )
+
+    gtype = "http://dbpedia.org/ontology/BoardGame"
+    # contract: list page → 0 items, N requests (dbpedia.py:343-346)
+    r = parse_dbpedia_games(
+        synth.canonicalize_one(synth.dbpedia_games_url(gtype)),
+        synth.dbpedia_games_body(gtype, 6),
+    )
+    assert r["games"] == [] and len(r["discovered"]) == 6
+    assert all(d["callback_kind"] == "dbpedia_game" for d in r["discovered"])
+    # contract: game page → 1 item, 0 requests (dbpedia.py:375-380)
+    g = parse_dbpedia_game("u", synth.dbpedia_game_body(7))["games"][0]
+    assert (g["bgg_id"], g["name"]) == (7, "DBp Game 7")
+    assert g["alt_name"] == ["DBp Game 7", "DBp Spiel 7"]  # en-first
+    assert g["designer"] == ["Designer 7"]
+    assert g["description"] == "Abstract of game 7."
+
+    pages = spark.createDataFrame(synth.dbpedia_corpus(n_games=6),
+                                  schemas.PAGES)
+    seeds = spark.createDataFrame(
+        pd.DataFrame({"url": [synth.dbpedia_games_url(gtype)],
+                      "source": ["dbpedia"], "priority": [1]}),
+        schemas.SEEDS,
+    )
+    eng = CrawlEngine(spark, tmp_path / "dbp", pages, window_sec=3600.0,
+                      use_bloom=False)
+    eng.seed(seeds)
+    eng.crawl(3)
+    games = eng.games.read()
+    assert games.count() == 6
+    assert games.where("name like 'DBp Game %'").count() == 6
