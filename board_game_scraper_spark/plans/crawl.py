@@ -541,25 +541,30 @@ class CrawlEngine:
             return self.write_coalesce
 
         # Gate empty writes (late rounds have no items): an empty append
-        # still costs a Spark job + a snapshot commit.
+        # still costs a Spark job + a snapshot commit.  All these commits
+        # target DIFFERENT tables and read only the scratch parquet /
+        # caches, so they run CONCURRENTLY (Spark schedules jobs from
+        # multiple threads; each SnapshotTable's manifest is touched by
+        # exactly one thread).  Only the frontier delta — the resume
+        # marker — must come after all of them.
+        writes = []
         if n_ok > 0:
-            self.documents.append(docs, lineage=lineage,
-                                  coalesce=_coalesce_for(n_ok))
-            _mark("documents_write")
+            writes.append(("documents", lambda: self.documents.append(
+                docs, lineage=lineage, coalesce=_coalesce_for(n_ok))))
         if stats["games"] > 0:
-            self.games.append(games, lineage=lineage,
-                              coalesce=_coalesce_for(stats["games"]))
-            _mark("games_write")
+            writes.append(("games", lambda: self.games.append(
+                games, lineage=lineage,
+                coalesce=_coalesce_for(stats["games"]))))
         if stats["users"] > 0:
-            self.users.append(users, lineage=lineage,
-                              coalesce=_coalesce_for(stats["users"]))
-            _mark("users_write")
+            writes.append(("users", lambda: self.users.append(
+                users, lineage=lineage,
+                coalesce=_coalesce_for(stats["users"]))))
         if stats["ratings"] > 0:
-            self.ratings.append(ratings, lineage=lineage,
-                                coalesce=_coalesce_for(stats["ratings"]))
-            _mark("ratings_write")
-        self.metrics.append(metrics_rows, lineage=lineage, coalesce=self.write_coalesce)
-        _mark("metrics_write")
+            writes.append(("ratings", lambda: self.ratings.append(
+                ratings, lineage=lineage,
+                coalesce=_coalesce_for(stats["ratings"]))))
+        writes.append(("metrics", lambda: self.metrics.append(
+            metrics_rows, lineage=lineage, coalesce=self.write_coalesce)))
         if self.adaptive_politeness:
             from .frontier import update_host_state
 
@@ -569,24 +574,36 @@ class CrawlEngine:
             merged = prev_state.join(
                 updated.select("host"), "host", "left_anti"
             ).unionByName(updated)
-            self.host_state.overwrite(merged, lineage=lineage, coalesce=1)
+            writes.append(("host_state", lambda: self.host_state.overwrite(
+                merged, lineage=lineage, coalesce=1)))
         if self.track_last_scraped:
-            self.last_scraped.append(
+            writes.append(("last_scraped", lambda: self.last_scraped.append(
                 fetch_rows.where(F.col("status") == 200).select(
                     "url_hash", "url_canon",
                     F.lit(round_no).alias("round"),
                 ),
-                lineage=lineage, coalesce=self.write_coalesce,
-            )
+                lineage=lineage, coalesce=self.write_coalesce)))
         if n_fresh:
             seen_delta = fresh.select(
                 "url_hash", "url_canon",
                 F.lit(round_no + 1).alias("first_round"),
             )
-            self.seen.append(seen_delta, lineage=lineage, coalesce=self.write_coalesce)
-            if self.bloom is not None:
-                self.bloom.add(seen_delta)
-            _mark("seen_write")
+
+            def _seen_write():
+                self.seen.append(seen_delta, lineage=lineage,
+                                 coalesce=self.write_coalesce)
+                if self.bloom is not None:
+                    self.bloom.add(seen_delta)
+
+            writes.append(("seen", _seen_write))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [(name, pool.submit(fn)) for name, fn in writes]
+            for name, fut in futures:
+                fut.result()  # propagate the first failure
+                _mark(f"{name}_write")
         # Frontier delta (merge-on-read): append retries+fresh, equality-
         # delete the scheduled rows.  IO is O(scheduled+discovered) per
         # round — the 10^10-row frontier is never rewritten (VERDICT r01
