@@ -158,9 +158,15 @@ class _TreeBuilder(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
-        close_on = _AUTOCLOSE.get(self.stack[-1].tag)
-        if close_on and tag in close_on:
-            self.stack.pop()
+        # Loop: '<tr><td>a<tr>' must close BOTH the td and the still-open
+        # tr, or the new row nests inside the previous one (legacy
+        # close-tag-omitting archive layouts).
+        while True:
+            close_on = _AUTOCLOSE.get(self.stack[-1].tag)
+            if close_on and tag in close_on:
+                self.stack.pop()
+            else:
+                break
         node = Node(tag, dict(attrs), parent=self.stack[-1])
         self.stack[-1].children.append(node)
         if tag not in _VOID:

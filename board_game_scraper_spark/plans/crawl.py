@@ -41,14 +41,20 @@ def callback_kind_col(url_canon):
         # (bgg_rankings.py:121-128 bgg_paths); checked before the generic
         # /browse/boardgame → bgg_browse rule
         F.when(url_canon.contains("web.archive.org"), F.lit("bgg_rankings"))
+        # geeklist BEFORE the legacy-filename rules: a real BGG geeklist
+        # slug often contains 'top50'; and anchor the legacy patterns to
+        # the boardgamegeek host so they can't hijack other sites
+        .when(url_canon.contains("/geeklist/"), F.lit("bgg_geeklist"))
         .when(
-            url_canon.contains("rankbrowse.php3")
-            | url_canon.contains("browser.php")
-            | url_canon.contains("top50")
-            | url_canon.contains("topn.php3"),
+            url_canon.contains("boardgamegeek.com")
+            & (
+                url_canon.contains("rankbrowse.php3")
+                | url_canon.contains("browser.php")
+                | url_canon.contains("top50")
+                | url_canon.contains("topn.php3")
+            ),
             F.lit("bgg_rankings"),
         )
-        .when(url_canon.contains("/geeklist/"), F.lit("bgg_geeklist"))
         .when(
             url_canon.contains("dbpedia.org/sparql")
             & url_canon.contains("%3Fproperty"),
@@ -252,7 +258,13 @@ class CrawlEngine:
             F.xxhash64("_c.url_canon").alias("url_hash"),
             F.col("_c.host").alias("host"),
             prio.cast("int").alias("priority"),
-            F.lit(round_no).alias("discovery_round"),
+            # round_no + 1, NOT round_no: a URL discovered in round_no,
+            # scheduled+failed in round_no, then requeued in round_no
+            # would otherwise collide with the round's pending equality-
+            # delete tuple (url_hash, 0, round_no) and be silently
+            # dropped at the next compact.  Requeued rows are a distinct
+            # generation, same as fresh discoveries.
+            F.lit(round_no + 1).alias("discovery_round"),
             F.lit(0).cast("long").alias("discovery_seq"),
             callback_kind_col(F.col("_c.url_canon")).alias("callback_kind"),
             F.lit(0).alias("attempt"),
@@ -609,8 +621,9 @@ class CrawlEngine:
         # round — the 10^10-row frontier is never rewritten (VERDICT r01
         # #2).  The key triple (url_hash, attempt, discovery_round)
         # uniquely identifies a frontier row generation: a retry re-enters
-        # with attempt+1 and a requeue with a new discovery_round, so old
-        # delete tuples can never shadow newly appended rows.
+        # with attempt+1 and a requeue with discovery_round = round_no+1
+        # (strictly newer than any generation deletable this round), so
+        # old delete tuples can never shadow newly appended rows.
         self.frontier.delta_commit(
             appends=retries.unionByName(fresh),
             deletes=scheduled.select(

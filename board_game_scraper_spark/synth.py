@@ -852,11 +852,15 @@ def callback_kind_for(url_canon: str) -> str:
     Request.callback, bgg.py:284-291, as data)."""
     if "web.archive.org" in url_canon:
         return "bgg_rankings"
-    if any(p in url_canon for p in ("rankbrowse.php3", "browser.php",
-                                    "top50", "topn.php3")):
-        return "bgg_rankings"
+    # geeklist first: real geeklist slugs can contain 'top50'; legacy
+    # filename rules are anchored to the boardgamegeek host
     if "/geeklist/" in url_canon:
         return "bgg_geeklist"
+    if "boardgamegeek.com" in url_canon and any(
+        p in url_canon
+        for p in ("rankbrowse.php3", "browser.php", "top50", "topn.php3")
+    ):
+        return "bgg_rankings"
     if "dbpedia.org/sparql" in url_canon:
         return ("dbpedia_game" if "%3Fproperty" in url_canon
                 else "dbpedia_games")

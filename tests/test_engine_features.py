@@ -98,6 +98,34 @@ def test_requeue_respects_rescrape_window(spark, tmp_path):
     assert m["scheduled"] >= len(ok_urls)
 
 
+def test_requeue_same_round_survives_pending_deletes(spark, tmp_path):
+    """ADVICE r02: a URL discovered in round r-1 (discovery_round = r),
+    scheduled in round r, then requeued in round r must NOT be shadowed
+    by round r's pending equality-delete tuple (url_hash, 0, r).
+    Requeued rows take discovery_round = r+1 — a distinct generation —
+    so they survive read-time delete application and compaction."""
+    seeds_pd, pages_pd = synth.corpus(n_browse=3, n_users=5, n_other=2)
+    seeds = spark.createDataFrame(seeds_pd, schemas.SEEDS)
+    eng = _mk(spark, pages_pd, tmp_path / "rqs", use_bloom=False,
+              track_last_scraped=True, compact_every=0)
+    eng.seed(seeds)
+    eng.run_round(1)   # fetches seeds, discovers rows w/ discovery_round=2
+    eng.run_round(2)   # schedules them → pending deletes (hash, 0, 2)
+    ok2 = [r["url_canon"] for r in eng.last_scraped.read()
+           .where(F.col("round") == 2).limit(2).collect()]
+    assert ok2
+    urls = spark.createDataFrame([(u,) for u in ok2], "url string")
+    n = eng.requeue(urls, 2, window_rounds=0)
+    assert n == len(ok2)
+    # visible through the merge-on-read delete mask…
+    pending = {r["url_canon"] for r in eng.frontier.read().collect()}
+    assert set(ok2) <= pending
+    # …and still there after deletes are folded in
+    eng.frontier.compact()
+    pending = {r["url_canon"] for r in eng.frontier.read().collect()}
+    assert set(ok2) <= pending
+
+
 def test_ids_seen_rebatches_overlapping_discoveries(spark, tmp_path):
     """F7 (bgg.py:229-242,256-261): game ids discovered on two
     overlapping browse pages are fetched exactly once — engine-level
