@@ -79,6 +79,22 @@ def callback_kind_col(url_canon):
     )
 
 
+class _KindView:
+    """Read-only per-kind projection of the combined ``items`` table
+    (partition-pruned on ``item_kind``).  Keeps the round-2 per-kind
+    table API (``eng.games.read()`` etc.) without per-kind commits."""
+
+    def __init__(self, table: SnapshotTable, kind: str, project):
+        self._table = table
+        self._kind = kind
+        self._project = project
+
+    def read(self) -> DataFrame:
+        return self._project(
+            self._table.read().where(F.col("item_kind") == self._kind)
+        )
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -129,10 +145,26 @@ class CrawlEngine:
         self.robots = t("robots", schemas.ROBOTS)
         self.host_state = t("host_state", schemas.HOST_STATE)
         self.last_scraped = t("last_scraped", schemas.LAST_SCRAPED)
-        self.documents = t("documents", schemas.DOCUMENTS)
-        self.games = t("games", schemas.GAME_ITEM)
-        self.users = t("users", schemas.USER_ITEM)
-        self.ratings = t("ratings", schemas.RATING_ITEM)
+        # ONE combined round-output table, partitioned by item_kind: the
+        # fused parse stage writes its output directly into this table's
+        # next data dir and the round commits it via add_files — the four
+        # separate per-kind append jobs of round 2 (each re-reading the
+        # scratch parquet and rewriting it) are gone, along with their
+        # manifest commits (VERDICT r02 "next round" #1b).  Per-kind
+        # access is a partition-pruned view.
+        self.items = t("items", schemas.PARSE_FLAT)
+        self.documents = _KindView(
+            self.items, "page",
+            lambda df: df.select(
+                F.col("url_canon").alias("doc_id"), "spans"
+            ).where(F.size("spans") > 0),
+        )
+        self.games = _KindView(self.items, "game",
+                               lambda df: df.select("game.*"))
+        self.users = _KindView(self.items, "user",
+                               lambda df: df.select("user.*"))
+        self.ratings = _KindView(self.items, "rating",
+                                 lambda df: df.select("rating.*"))
         self.metrics = t("metrics", schemas.METRICS)
         # Cluster-safe bloom sidecar: bitmaps are snapshot-table rows
         # (cogroup applyInPandas), not executor-local files.
@@ -419,11 +451,18 @@ class CrawlEngine:
         kind = lambda k: F.sum(
             (F.col("item_kind") == k).cast("long")
         ).alias(k)
-        scratch = self.root / "scratch" / f"round-{round_no}"
+        # The fused write lands DIRECTLY in the items table's next data
+        # dir (committed below via add_files once the round is known to
+        # be non-empty) — it is both the round's scratch AND the durable
+        # output, written exactly once, partitioned by item_kind so the
+        # per-kind reads below (and the _KindView API) partition-prune.
+        items_rel, scratch = self.items.new_data_dir()
         run_parse_flat(fetched_full).observe(
             obs_items, kind("page"), kind("game"), kind("user"),
             kind("rating"),
-        ).write.mode("overwrite").parquet(str(scratch))
+        ).write.mode("overwrite").partitionBy("item_kind").parquet(
+            str(scratch)
+        )
 
         _mark("parse_scratch_write")
         n_scheduled = int(obs_sched.get["n"] or 0)
@@ -463,14 +502,8 @@ class CrawlEngine:
             fetch_rows, round_no, self.max_attempts
         ).observe(obs_retry, F.count(F.lit(1)).alias("n"))
 
-        # --- item tables: columnar filtered reads of the flat output -------
-        games = flat.where(F.col("item_kind") == "game").select("game.*")
-        users = flat.where(F.col("item_kind") == "user").select("user.*")
-        ratings = flat.where(F.col("item_kind") == "rating").select("rating.*")
+        # --- per-kind access: partition-pruned reads of the committed dir --
         pages_rows = flat.where(F.col("item_kind") == "page")
-        docs = pages_rows.select(
-            F.col("url_canon").alias("doc_id"), "spans"
-        ).where(F.size("spans") > 0)
 
         # --- discoveries → dedup vs seen → fresh frontier rows -------------
         obs_disc = Observation()
@@ -537,21 +570,6 @@ class CrawlEngine:
         # marker used by resume()) ------------------------------------------
         lineage = {"round": round_no, "stage": "round"}
 
-        def _coalesce_for(n_rows: int) -> int | None:
-            # coalesce() caps the parallelism of the whole write plan
-            # (including the filter/scan feeding it) — collapse small
-            # outputs hard (task-commit overhead dominates tiny writes),
-            # but leave big outputs at natural plan width: these scans of
-            # the scratch parquet are bounded by its file count, and a
-            # fixed cap (16 in round 1) made the dominant write stage
-            # identical wall-time at local[8] and local[32] — the
-            # measured scaling killer.
-            if self.write_coalesce is None:
-                return None
-            if n_rows > 25_000:
-                return None
-            return self.write_coalesce
-
         # Gate empty writes (late rounds have no items): an empty append
         # still costs a Spark job + a snapshot commit.  All these commits
         # target DIFFERENT tables and read only the scratch parquet /
@@ -560,21 +578,12 @@ class CrawlEngine:
         # exactly one thread).  Only the frontier delta — the resume
         # marker — must come after all of them.
         writes = []
-        if n_ok > 0:
-            writes.append(("documents", lambda: self.documents.append(
-                docs, lineage=lineage, coalesce=_coalesce_for(n_ok))))
-        if stats["games"] > 0:
-            writes.append(("games", lambda: self.games.append(
-                games, lineage=lineage,
-                coalesce=_coalesce_for(stats["games"]))))
-        if stats["users"] > 0:
-            writes.append(("users", lambda: self.users.append(
-                users, lineage=lineage,
-                coalesce=_coalesce_for(stats["users"]))))
-        if stats["ratings"] > 0:
-            writes.append(("ratings", lambda: self.ratings.append(
-                ratings, lineage=lineage,
-                coalesce=_coalesce_for(stats["ratings"]))))
+        # The round's parse output was already written into items_rel by
+        # the fused stage above; committing it is pure manifest IO (no
+        # Spark job, no rewrite) — Iceberg add_files.
+        writes.append(("items", lambda: self.items.add_files(
+            items_rel, lineage=lineage,
+            metrics={"pages": n_ok, **stats})))
         writes.append(("metrics", lambda: self.metrics.append(
             metrics_rows, lineage=lineage, coalesce=self.write_coalesce)))
         if self.adaptive_politeness:
@@ -646,6 +655,11 @@ class CrawlEngine:
                 lineage={"round": round_no, "stage": "compact"},
                 coalesce=self.write_coalesce,
             )
+            if self.bloom is not None:
+                # Fold the O(new-keys) delta rows accumulated since the
+                # last fold into the per-shard bitmaps (same cadence as
+                # the frontier compaction — VERDICT r02 #2).
+                self.bloom.compact()
 
         # Frontier-balance bookkeeping (all from observations — no extra
         # jobs): lets crawl() stop without paying for an empty round.
@@ -655,7 +669,7 @@ class CrawlEngine:
 
         for df in (frontier, scheduled, disc_raw, disc, fresh):
             df.unpersist()
-        _shutil.rmtree(scratch, ignore_errors=True)
+        # scratch is NOT deleted: it is the committed items data dir.
         return {
             "round": round_no,
             "scheduled": n_scheduled,

@@ -124,26 +124,38 @@ class ShardedBloom:
         )
 
 
-BLOOM_ROW_SCHEMA = "shard int, version long, bits binary"
+BLOOM_ROW_SCHEMA = "shard int, version long, bits binary, hash long"
 
 
 class SnapshotBloom:
-    """Cluster-safe sharded bloom: bitmaps live as (shard, version, bits)
-    rows in a SnapshotTable instead of executor-local files.
+    """Cluster-safe sharded bloom with O(new-keys) writes.
 
-    - ``add``: new url_hash deltas are cogrouped with each shard's latest
-      bitmap (``applyInPandas`` over ``cogroup`` — the bitmap and the
-      delta meet shard-locally on an executor, nothing broadcast); only
-      TOUCHED shards append a new (version+1) row — merge-on-read, same
-      pattern as the frontier's delta commits.
-    - ``prefilter``: candidates cogroup with latest bitmaps per shard.
-    - ``compact()``: keep only the latest row per shard.
+    Two row kinds in one SnapshotTable (``bits`` discriminates):
+
+    - **bitmap rows** (``bits`` non-null, ``hash`` = 0): one folded
+      bitmap per shard, produced only by ``compact()``.
+    - **delta rows** (``bits`` null, ``hash`` = url_hash): appended by
+      ``add`` — a bare projection write, no shuffle, no bitmap rewrite.
+
+    Round-2 wrote a full ~1.75 MB bitmap row per touched shard per
+    round — O(shards x bitmap_size) IO to record O(new keys) hashes
+    (the ``InternalParquetRecordWriter: Too much memory`` warnings in
+    BENCH_r02).  Now ``add`` costs 20 bytes/new hash; ``compact()``
+    (wired to the crawl loop's ``compact_every`` cadence) folds pending
+    deltas into the bitmaps shard-locally and overwrites, bounding both
+    file count and the read-side row count.
+
+    ``prefilter`` cogroups candidates with each shard's rows (bitmap +
+    pending deltas): membership = bloom-bit hit OR exact delta match, so
+    un-compacted hashes are still seen — false positives only, never
+    false negatives, same as before.  The ``hash`` column is NOT NULL
+    (0 on bitmap rows) so pandas keeps exact int64 — a nullable long
+    would decay to float64 and corrupt hashes above 2^53.
 
     The file-based ``ShardedBloom`` above assumes a shared filesystem
     (true in local mode and on NFS/fuse DFS mounts); this variant only
-    needs the snapshot table's storage, so it works on any cluster.
-    Same bit math (``_bit_positions``), same false-positive-only
-    semantics.
+    needs the snapshot table's storage.  Same bit math
+    (``_bit_positions``), same false-positive-only semantics.
     """
 
     def __init__(self, spark, path: str | Path, n_shards: int = 64,
@@ -160,58 +172,40 @@ class SnapshotBloom:
         schema = StructType([
             StructField("shard", IntegerType(), False),
             StructField("version", LongType(), False),
-            StructField("bits", BinaryType(), False),
+            StructField("bits", BinaryType(), True),
+            StructField("hash", LongType(), False),
         ])
         self.table = SnapshotTable(spark, path, schema)
 
     def shard_col(self):
         return F.pmod(F.col("url_hash"), F.lit(self.n_shards)).cast("int")
 
-    def _latest(self) -> DataFrame:
-        from pyspark.sql import Window
-
-        t = self.table.read()
-        w = Window.partitionBy("shard").orderBy(F.col("version").desc())
-        return (
-            t.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("shard", "bits")
-        )
+    @staticmethod
+    def _split(bits_pdf: pd.DataFrame):
+        """(latest bitmap bytes or None, pending delta hashes int64[])."""
+        mask = bits_pdf["bits"].notna()
+        bitmap = None
+        if mask.any():
+            bmp = bits_pdf[mask]
+            bitmap = bmp.loc[bmp["version"].idxmax(), "bits"]
+        deltas = bits_pdf.loc[~mask, "hash"].to_numpy(np.int64)
+        return bitmap, deltas
 
     def add(self, df: DataFrame) -> None:
-        m_bits = self.m_bits
+        """Append url_hash delta rows — O(new keys) bytes, no shuffle."""
         snap = self.table.current_snapshot()
         version = (snap["id"] + 1) if snap else 1
-
-        def _merge(key, cand: pd.DataFrame, bits_pdf: pd.DataFrame):
-            if not len(cand):
-                return pd.DataFrame(
-                    {"shard": [], "version": [], "bits": []}
-                ).astype({"shard": "int32", "version": "int64"})
-            if len(bits_pdf):
-                bits = np.frombuffer(bits_pdf["bits"].iloc[0],
-                                     dtype=np.uint8).copy()
-            else:
-                bits = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
-            pos = _bit_positions(
-                cand["url_hash"].to_numpy(np.int64), m_bits
-            ).ravel()
-            np.bitwise_or.at(bits, pos // 8,
-                             (1 << (pos % 8)).astype(np.uint8))
-            return pd.DataFrame({"shard": [int(key[0])],
-                                 "version": [version],
-                                 "bits": [bits.tobytes()]})
-
-        deltas = df.select("url_hash").withColumn("shard", self.shard_col())
-        updated = (
-            deltas.groupBy("shard")
-            .cogroup(self._latest().groupBy("shard"))
-            .applyInPandas(_merge, BLOOM_ROW_SCHEMA)
+        deltas = df.select(
+            self.shard_col().alias("shard"),
+            F.lit(version).cast("long").alias("version"),
+            F.lit(None).cast("binary").alias("bits"),
+            F.col("url_hash").alias("hash"),
         )
-        self.table.append(updated, lineage={"version": version})
+        self.table.append(deltas, lineage={"version": version})
 
     def prefilter(self, candidates: DataFrame) -> DataFrame:
         m_bits = self.m_bits
+        split = self._split
         out_schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
             for f in candidates.schema.fields
@@ -223,13 +217,22 @@ class SnapshotBloom:
                 return cand.assign(maybe_seen=pd.Series(dtype=bool))
             if not len(bits_pdf):
                 return cand.assign(maybe_seen=False)
-            bits = np.frombuffer(bits_pdf["bits"].iloc[0], dtype=np.uint8)
-            pos = _bit_positions(cand["url_hash"].to_numpy(np.int64),
-                                 m_bits)
-            hit = (bits[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
-            return cand.assign(maybe_seen=hit.all(axis=0).astype(bool))
+            hashes = cand["url_hash"].to_numpy(np.int64)
+            bitmap, deltas = split(bits_pdf)
+            hit = np.zeros(len(cand), dtype=bool)
+            if bitmap is not None:
+                bits = np.frombuffer(bitmap, dtype=np.uint8)
+                pos = _bit_positions(hashes, m_bits)
+                hit |= (
+                    (bits[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+                ).all(axis=0).astype(bool)
+            if len(deltas):
+                hit |= np.isin(hashes, deltas)
+            return cand.assign(maybe_seen=hit)
 
-        shards = self._latest().withColumnRenamed("shard", "_shard")
+        shards = self.table.read().select(
+            F.col("shard").alias("_shard"), "version", "bits", "hash"
+        )
         return (
             candidates.withColumn("_shard", self.shard_col())
             .groupBy("_shard")
@@ -238,10 +241,63 @@ class SnapshotBloom:
         )
 
     def compact(self) -> None:
-        """Fold history: one latest row per shard."""
-        self.table.overwrite(self._latest().withColumn(
-            "version", F.lit(0).cast("long")
-        ).select("shard", "version", "bits"))
+        """Fold pending delta rows into one bitmap row per shard
+        (shard-local cogroup — the bitmap and its deltas meet on an
+        executor, nothing broadcast) and overwrite the table."""
+        m_bits = self.m_bits
+        split = self._split
+        full = self.table.read()
+        delta_rows = full.where(F.col("bits").isNull()).select(
+            "shard", F.col("hash").alias("url_hash")
+        )
+        bitmap_rows = full.where(F.col("bits").isNotNull()).select(
+            "shard", "version", "bits",
+            F.lit(0).cast("long").alias("hash"),
+        )
+
+        def _merge(key, cand: pd.DataFrame, bits_pdf: pd.DataFrame):
+            empty = pd.DataFrame(
+                {"shard": [], "version": [], "bits": [], "hash": []}
+            ).astype({"shard": "int32", "version": "int64",
+                      "hash": "int64"})
+            if not len(cand) and not len(bits_pdf):
+                return empty
+            if len(bits_pdf):
+                bitmap, _ = split(bits_pdf)
+            else:
+                bitmap = None
+            bits = (np.frombuffer(bitmap, dtype=np.uint8).copy()
+                    if bitmap is not None
+                    else np.zeros(m_bits // 8 + 1, dtype=np.uint8))
+            if len(cand):
+                pos = _bit_positions(
+                    cand["url_hash"].to_numpy(np.int64), m_bits
+                ).ravel()
+                np.bitwise_or.at(bits, pos // 8,
+                                 (1 << (pos % 8)).astype(np.uint8))
+            return pd.DataFrame({"shard": [int(key[0])],
+                                 "version": [0],
+                                 "bits": [bits.tobytes()],
+                                 "hash": [0]})
+
+        folded = (
+            delta_rows.groupBy("shard")
+            .cogroup(bitmap_rows.groupBy("shard"))
+            .applyInPandas(_merge, BLOOM_ROW_SCHEMA)
+        )
+        # The fold's shuffle INPUT (delta rows) is tiny, so AQE would
+        # coalesce it to one partition — and one task would then buffer
+        # every shard's multi-MB bitmap before parquet's first flush
+        # check (which only fires after 100 records).  Keep the shuffle
+        # width so each task writes a handful of bitmaps.
+        conf = self.spark.conf
+        key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev = conf.get(key, "true")
+        conf.set(key, "false")
+        try:
+            self.table.overwrite(folded)
+        finally:
+            conf.set(key, prev)
 
 
 def filter_unseen(

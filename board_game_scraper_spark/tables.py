@@ -118,6 +118,20 @@ class SnapshotTable:
         writer.parquet(str(self.path / rel))
         return rel
 
+    def new_data_dir(self) -> tuple[str, Path]:
+        """Reserve a data dir for a caller-side write (Iceberg
+        ``add_files`` pattern): the caller writes parquet directly under
+        the returned absolute path, then calls ``add_files(rel)`` to
+        commit it — zero rewrite.  An abandoned dir (caller failed before
+        committing) is an orphan file, invisible to readers."""
+        rel = f"data/{uuid.uuid4().hex}"
+        return rel, self.path / rel
+
+    def add_files(self, rel: str, lineage: dict | None = None,
+                  metrics: dict | None = None) -> dict:
+        """Commit an already-written data dir without rewriting it."""
+        return self._commit([rel], "append", lineage, metrics)
+
     def append(self, df: DataFrame, lineage: dict | None = None,
                metrics: dict | None = None,
                partition_by: list[str] | None = None,
@@ -182,8 +196,20 @@ class SnapshotTable:
         snap = self.current_snapshot()
         if not snap or not snap["files"]:
             return self.spark.createDataFrame([], self.schema)
-        paths = [str(self.path / rel) for rel in snap["files"]]
-        df = self.spark.read.schema(self.schema).parquet(*paths)
+        # One read per data dir, unioned: a single multi-path read breaks
+        # on hive-partitioned dirs (each dir is its own partition root —
+        # CONFLICTING_DIRECTORY_STRUCTURES), and unionByName also
+        # normalizes partition-column order.  Dir count is bounded by the
+        # compaction cadence.
+        dfs = [
+            self.spark.read.schema(self.schema).parquet(
+                str(self.path / rel)
+            )
+            for rel in snap["files"]
+        ]
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other)
         dels = snap.get("delete_files") or []
         if dels:
             # Equality-delete apply (merge-on-read).  Delete sets are
