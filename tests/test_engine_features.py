@@ -126,6 +126,44 @@ def test_requeue_same_round_survives_pending_deletes(spark, tmp_path):
     assert set(ok2) <= pending
 
 
+def test_seed_requests_consumed_with_ack(spark, tmp_path):
+    """S10 (Pub/Sub pull analog): an externally-enqueued URL is folded
+    into the frontier at the next round (bypassing the seen set, like
+    the reference's dont_filter), crawled exactly once, acked, and the
+    ack survives resume."""
+    seeds_pd, pages_pd = synth.corpus(n_browse=3, n_users=6, n_other=2)
+    seeds = spark.createDataFrame(seeds_pd, schemas.SEEDS)
+    eng = _mk(spark, pages_pd, tmp_path / "sr", use_bloom=False,
+              record_schedule=True)
+    eng.seed(seeds)
+    eng.crawl(3)
+    last = eng.last_round()
+    url = str(pages_pd.url_canon.iloc[0])  # already crawled => seen
+    assert eng.enqueue_requests(
+        spark.createDataFrame([(url,)], "url string")) == 1
+    assert (eng.seed_requests.current_snapshot()["metrics"]["pending"]
+            == 1)
+    m = eng.run_round(last + 1)
+    assert m["scheduled"] >= 1
+    sched = [u for urls in eng.schedule_log[last + 1].values()
+             for u in urls]
+    assert sched.count(url) == 1  # crawled exactly once despite seen
+    # acked atomically: queue empty by manifest AND by read
+    assert (eng.seed_requests.current_snapshot()["metrics"]["pending"]
+            == 0)
+    assert eng.seed_requests.read().count() == 0
+    # consumed from the frontier too (not re-scheduled next round)
+    m2 = eng.run_round(last + 2)
+    sched2 = [u for urls in eng.schedule_log.get(last + 2, {}).values()
+              for u in urls]
+    assert url not in sched2
+    # resume: a fresh engine over the same root sees the ack
+    eng2 = _mk(spark, pages_pd, tmp_path / "sr", use_bloom=False)
+    assert (eng2.seed_requests.current_snapshot()["metrics"]["pending"]
+            == 0)
+    assert eng2._consume_seed_requests(eng2.last_round() + 1) == 0
+
+
 def test_ids_seen_rebatches_overlapping_discoveries(spark, tmp_path):
     """F7 (bgg.py:229-242,256-261): game ids discovered on two
     overlapping browse pages are fetched exactly once — engine-level

@@ -114,6 +114,29 @@ def test_ivf_topk_superset_of_probe(spark, vectors):
         (r["vec_id"], r["cosine"]) for r in exact]
 
 
+def test_ivf_persisted_index_matches_inline(spark, vectors, tmp_path):
+    """The production path (ivf_build once → partition-pruned
+    ivf_topk_indexed per query) returns exactly what the inline
+    (re-assigning) variant returns, and the probe plan carries a static
+    list_id partition filter — no full-corpus re-scan per query."""
+    from board_game_scraper_spark.operators.similarity import (
+        ivf_build, ivf_topk_indexed,
+    )
+
+    q = vectors.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"))
+    others = vectors.where("vec_id != 0")
+    cents = make_centroids(others, nlist=3)
+    idx = tmp_path / "ivf"
+    ivf_build(others, cents, idx)
+    got = ivf_topk_indexed(spark, idx, q, cents, k=5, nprobe=2)
+    inline = ivf_topk(others, q, cents, k=5, nprobe=2)
+    assert [(r["vec_id"], r["cosine"]) for r in got.collect()] == [
+        (r["vec_id"], r["cosine"]) for r in inline.collect()]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+
 def test_hyperplane_buckets_deterministic(spark, vectors):
     a = {(r["vec_id"], r["bucket"])
          for r in hyperplane_buckets(vectors).collect()}

@@ -51,6 +51,10 @@ CHECKS = {
         ("WindowGroupLimit", "rank-limit pushed below the shuffle"),
         ("hashpartitioning(event_type", "window partitioned (no global sort)"),
     ],
+    "ann_ivf_topk": [
+        ("PartitionFilters: [list_id", "IVF probe is a partition-pruned "
+         "scan of the persisted index (never a full re-assignment)"),
+    ],
 }
 
 FORBIDDEN = ("CartesianProduct",)
