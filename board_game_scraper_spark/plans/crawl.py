@@ -114,6 +114,7 @@ class CrawlEngine:
         track_last_scraped: bool = False,
         compact_every: int = 8,
         use_ids_seen: bool = False,
+        partition_items: bool = True,
     ):
         self.spark = spark
         self.root = Path(root)
@@ -139,6 +140,7 @@ class CrawlEngine:
         # page-local batch URLs differ), which changes the URL stream the
         # order-equality simulator pins.
         self.use_ids_seen = use_ids_seen
+        self.partition_items = partition_items
         self.frontier = t("frontier", schemas.FRONTIER)
         self.ids_seen = t("ids_seen", schemas.IDS_SEEN)
         self.seed_requests = t("seed_requests", schemas.SEED_REQUESTS)
@@ -542,12 +544,13 @@ class CrawlEngine:
         # output, written exactly once, partitioned by item_kind so the
         # per-kind reads below (and the _KindView API) partition-prune.
         items_rel, scratch = self.items.new_data_dir()
-        run_parse_flat(fetched_full).observe(
+        writer = run_parse_flat(fetched_full).observe(
             obs_items, kind("page"), kind("game"), kind("user"),
             kind("rating"),
-        ).write.mode("overwrite").partitionBy("item_kind").parquet(
-            str(scratch)
-        )
+        ).write.mode("overwrite")
+        if self.partition_items:
+            writer = writer.partitionBy("item_kind")
+        writer.parquet(str(scratch))
 
         _mark("parse_scratch_write")
         n_scheduled = int(obs_sched.get["n"] or 0)

