@@ -588,7 +588,8 @@ class CrawlEngine:
         obs_retry = Observation()
         retries = retry_rows(
             fetch_rows, round_no, self.max_attempts
-        ).observe(obs_retry, F.count(F.lit(1)).alias("n"))
+        ).observe(obs_retry, F.count(F.lit(1)).alias("n"),
+                  F.min("not_before_round").alias("min_nb"))
 
         # --- per-kind access: partition-pruned reads of the committed dir --
         pages_rows = flat.where(F.col("item_kind") == "page")
@@ -751,9 +752,20 @@ class CrawlEngine:
 
         # Frontier-balance bookkeeping (all from observations — no extra
         # jobs): lets crawl() stop without paying for an empty round.
-        n_retries = int(obs_retry.get["n"] or 0)
+        retry_stats = obs_retry.get
+        n_retries = int(retry_stats["n"] or 0)
         n_frontier = int(obs_front.get["n"] or 0)
         pending = n_frontier - n_scheduled + n_retries + n_fresh
+        # Fast-forward hint: when this round consumed the whole frontier
+        # (no unscheduled leftover, no fresh discoveries) and only
+        # backoff retries remain, every round before their earliest
+        # not_before_round is PROVABLY empty — crawl() can jump straight
+        # to it instead of paying a no-op superstep per idle round.
+        leftover = n_frontier - n_scheduled
+        if leftover == 0 and n_fresh == 0 and n_retries > 0:
+            next_eligible = int(retry_stats["min_nb"])
+        else:
+            next_eligible = round_no + 1
 
         for df in (frontier, scheduled, disc_raw, disc, fresh):
             df.unpersist()
@@ -766,6 +778,7 @@ class CrawlEngine:
             "discovered": n_disc,
             "fresh": n_fresh,
             "pending": pending,
+            "next_eligible_round": next_eligible,
             "done": False,
         }
 
@@ -779,14 +792,21 @@ class CrawlEngine:
         return int(snap["lineage"].get("round", 0))
 
     def crawl(self, n_rounds: int, start_round: int | None = None) -> list[dict]:
-        """Run rounds [start, start+n); resumes after the last commit."""
+        """Run up to ``n_rounds`` supersteps in [start, start+n_rounds);
+        resumes after the last commit.  Rounds the engine proved empty
+        (all remaining work is backoff retries with a future
+        not_before_round) are skipped, not paid for — the round counter
+        fast-forwards to the earliest eligible round within the window.
+        """
         start = (self.last_round() + 1) if start_round is None else start_round
         out = []
-        for r in range(start, start + n_rounds):
+        r = start
+        while r < start + n_rounds:
             m = self.run_round(r)
             out.append(m)
             # "pending == 0" (from observations) skips the final no-op
             # round that "done" would otherwise cost.
             if m.get("done") or m.get("pending") == 0:
                 break
+            r = max(m.get("next_eligible_round") or r + 1, r + 1)
         return out

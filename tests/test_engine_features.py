@@ -126,6 +126,35 @@ def test_requeue_same_round_survives_pending_deletes(spark, tmp_path):
     assert set(ok2) <= pending
 
 
+def test_crawl_fast_forwards_empty_rounds(spark, tmp_path):
+    """When only backoff retries remain, rounds before their earliest
+    not_before_round are provably empty — crawl() jumps over them
+    instead of paying a no-op superstep each (serial-floor item)."""
+    import pandas as pd
+
+    rows = pd.DataFrame([
+        {"url_canon": "https://a.example/ok", "status": 200,
+         "content_type": "text/html",
+         "body": "<html><body><p>hi</p></body></html>", "latency_ms": 5},
+        {"url_canon": "https://a.example/busy", "status": 503,
+         "content_type": "text/html", "body": "", "latency_ms": 5},
+    ])
+    seeds = spark.createDataFrame(
+        pd.DataFrame({"url": rows.url_canon, "source": "t",
+                      "priority": 0}), schemas.SEEDS)
+    eng = _mk(spark, rows, tmp_path / "ff", use_bloom=False)
+    eng.seed(seeds)
+    ms = eng.crawl(6)
+    rounds = [m["round"] for m in ms]
+    # round 1 fetches both; the 503 re-queues with not_before = 3
+    # (attempt 1, backoff 2); round 2 is provably empty and skipped
+    assert rounds[0] == 1
+    assert 2 not in rounds
+    assert 3 in rounds
+    r3 = ms[rounds.index(3)]
+    assert r3["scheduled"] == 1  # the retry actually ran
+
+
 def test_seed_requests_consumed_with_ack(spark, tmp_path):
     """S10 (Pub/Sub pull analog): an externally-enqueued URL is folded
     into the frontier at the next round (bypassing the seen set, like
