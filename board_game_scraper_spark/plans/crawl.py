@@ -596,6 +596,7 @@ class CrawlEngine:
 
         # --- discoveries → dedup vs seen → fresh frontier rows -------------
         obs_disc = Observation()
+        obs_fresh = Observation()
         disc = (
             pages_rows.select(F.explode("discovered").alias("d"))
             .select(
@@ -630,14 +631,14 @@ class CrawlEngine:
             F.lit(0).alias("attempt"),
             F.lit(round_no + 1).alias("not_before_round"),
             F.lit(None).cast("map<string,string>").alias("meta"),
+        )
+        fresh = fresh.observe(
+            obs_fresh, F.count(F.lit(1)).alias("n")
         ).cache()
-        # Single materializer for the discovery branch: fills the disc +
-        # fresh caches and the obs_disc observation in one job.
-        n_fresh = fresh.count() if n_ok else 0
-        _mark("disc_fresh_count")
-        n_disc = int(obs_disc.get["n"] or 0) if n_ok else 0
 
         # --- per-host metrics (A5; north_rule lineage requirement) ---------
+        # metrics_rows is assembled inside the commit pool, once the
+        # discovery counts are observed (see _seen_write below).
         host_metrics = (
             fetch_rows.groupBy("host")
             .agg(
@@ -647,12 +648,6 @@ class CrawlEngine:
                 F.avg("latency_ms").alias("avg_latency_ms"),
             )
             .withColumn("round", F.lit(round_no))
-        )
-        metrics_rows = host_metrics.select(
-            "round", "host", "scheduled", "fetched", "failed",
-            F.lit(n_items).alias("parsed_items"),
-            F.lit(n_disc).alias("discovered_urls"),
-            "avg_latency_ms",
         )
 
         # --- commit (per-table snapshots; frontier last carries the round
@@ -673,8 +668,6 @@ class CrawlEngine:
         writes.append(("items", lambda: self.items.add_files(
             items_rel, lineage=lineage,
             metrics={"pages": n_ok, **stats})))
-        writes.append(("metrics", lambda: self.metrics.append(
-            metrics_rows, lineage=lineage, coalesce=self.write_coalesce)))
         if self.adaptive_politeness:
             from .frontier import update_host_state
 
@@ -693,18 +686,24 @@ class CrawlEngine:
                     F.lit(round_no).alias("round"),
                 ),
                 lineage=lineage, coalesce=self.write_coalesce)))
-        if n_fresh:
-            seen_delta = fresh.select(
-                "url_hash", "url_canon",
-                F.lit(round_no + 1).alias("first_round"),
-            )
+        seen_delta = fresh.select(
+            "url_hash", "url_canon",
+            F.lit(round_no + 1).alias("first_round"),
+        )
 
-            def _seen_write():
-                self.seen.append(seen_delta, lineage=lineage,
-                                 coalesce=self.write_coalesce)
-                if self.bloom is not None:
-                    self.bloom.add(seen_delta)
+        def _seen_write():
+            # This append doubles as the discovery branch's single
+            # materializer: ONE job fills the fresh cache and the
+            # obs_disc/obs_fresh observations (previously a separate
+            # count() pass — VERDICT r02 serial floor).  A tail round
+            # with zero fresh rows writes an empty delta file: file IO
+            # only, no extra Spark job.
+            self.seen.append(seen_delta, lineage=lineage,
+                             coalesce=self.write_coalesce)
+            if self.bloom is not None and int(obs_fresh.get["n"] or 0):
+                self.bloom.add(seen_delta)
 
+        if n_ok:
             writes.append(("seen", _seen_write))
 
         from concurrent.futures import ThreadPoolExecutor
@@ -714,6 +713,24 @@ class CrawlEngine:
             for name, fut in futures:
                 fut.result()  # propagate the first failure
                 _mark(f"{name}_write")
+            # Discovery counts become observable once the seen append
+            # (or, with n_ok == 0, nothing) has materialized the branch.
+            n_fresh = int(obs_fresh.get["n"] or 0) if n_ok else 0
+            n_disc = int(obs_disc.get["n"] or 0) if n_ok else 0
+            metrics_rows = host_metrics.select(
+                "round", "host", "scheduled", "fetched", "failed",
+                F.lit(n_items).alias("parsed_items"),
+                F.lit(n_disc).alias("discovered_urls"),
+                "avg_latency_ms",
+            )
+            fut_m = pool.submit(
+                lambda: self.metrics.append(
+                    metrics_rows, lineage=lineage,
+                    coalesce=self.write_coalesce,
+                )
+            )
+            fut_m.result()
+            _mark("metrics_write")
         # Frontier delta (merge-on-read): append retries+fresh, equality-
         # delete the scheduled rows.  IO is O(scheduled+discovered) per
         # round — the 10^10-row frontier is never rewritten (VERDICT r01
