@@ -110,23 +110,29 @@ def run_frontier_replay(spark, n_browse: int, n_users: int, n_other: int,
 def main() -> None:
     sf_dir = os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.getenv("SPARK_GRAFT_CPUS", "32")
-    scale = float(os.getenv("SPARK_GRAFT_BENCH_SCALE", "1.0"))
+    # Replay scale defaults to 2.0 so the official artifact and the
+    # scaling evidence (tools/bench_scaling.py, BENCH/BASELINE.md) rest
+    # on the same corpus scale (VERDICT r03 'next' #6).
+    scale = float(os.getenv("SPARK_GRAFT_BENCH_SCALE", "2.0"))
     spark = get_spark(
         "bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = q.QUERIES[name]
-        # warm the reader metadata once so we time compute, not listing
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        _materialize(df)
-        dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
+    # Per-query best of N interleaved passes — the same steal-robust
+    # protocol as the frontier replay below (VERDICT r03 'wrong' #1: a
+    # single-run loop cannot distinguish hypervisor steal from a real
+    # regression; this VM's steal varies identical runs 2-4x).
+    reps = int(os.getenv("SPARK_GRAFT_BENCH_REPS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(max(reps, 1)):
+        for name in HEADLINE:
+            df = q.QUERIES[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            _materialize(df)
+            samples[name].append(time.perf_counter() - t0)
+    per_query = {name: round(min(ts), 3) for name, ts in samples.items()}
+    total = sum(per_query.values())
 
     replay = run_frontier_replay(
         spark,
@@ -137,6 +143,7 @@ def main() -> None:
         window_sec=3600.0,
         reps=int(os.getenv("SPARK_GRAFT_BENCH_REPS", "3")),
     )
+    replay["scale"] = scale
     total += replay["seconds"]  # best-of-reps (steal-robust)
 
     print(

@@ -155,7 +155,12 @@ class CrawlEngine:
         # scratch parquet and rewriting it) are gone, along with their
         # manifest commits (VERDICT r02 "next round" #1b).  Per-kind
         # access is a partition-pruned view.
-        self.items = t("items", schemas.PARSE_FLAT)
+        # hive_dirs: the fused parse write lands partitionBy(item_kind)
+        # dirs, which need per-dir reads (every other table gets the
+        # O(1)-depth multi-path scan — ADVICE r03 #1).
+        self.items = SnapshotTable(spark, self.root / "items",
+                                   schemas.PARSE_FLAT,
+                                   hive_dirs=self.partition_items)
         self.documents = _KindView(
             self.items, "page",
             lambda df: df.select(
@@ -312,19 +317,21 @@ class CrawlEngine:
         fresh = cand.join(recent, "url_hash", "left_anti")
         # also drop anything already pending in the frontier
         frontier = self.frontier.read()
+        obs = Observation()
         fresh = fresh.join(frontier.select("url_hash"), "url_hash",
-                           "left_anti").cache()
-        n = fresh.count()
-        if n:
-            # Delta append: only the requeued rows hit disk, never the
-            # full frontier (merge-on-read — tables.py).
-            self.frontier.delta_commit(
-                appends=fresh,
-                lineage={"round": round_no, "stage": "requeue"},
-                coalesce=self.write_coalesce,
-            )
-        fresh.unpersist()
-        return n
+                           "left_anti").observe(
+            obs, F.count(F.lit(1)).alias("n"))
+        # Delta append: only the requeued rows hit disk, never the full
+        # frontier (merge-on-read — tables.py).  ONE action: the count
+        # rides the commit's write job as an Observation.  No "round"
+        # lineage key — requeue is an out-of-band insert, and the resume
+        # marker must only advance on end-of-round commits.
+        self.frontier.delta_commit(
+            appends=fresh,
+            lineage={"stage": "requeue", "at_round": round_no},
+            coalesce=self.write_coalesce,
+        )
+        return int(obs.get["n"] or 0)
 
     # ------------------------------------------------------- S10 seed requests
 
@@ -366,13 +373,21 @@ class CrawlEngine:
         re-applied next start and the same anti-join makes it a no-op
         (at-least-once delivery, idempotent effect)."""
         snap = self.seed_requests.current_snapshot()
-        if not snap or not (snap.get("metrics") or {}).get("pending", 0):
+        pending0 = ((snap or {}).get("metrics") or {}).get("pending", 0)
+        if not snap or not pending0:
             return 0
+        # Consume exactly this snapshot's data files: rows enqueued
+        # AFTER this read land in new files and survive the ack below
+        # (an external producer may enqueue mid-round — ADVICE r03 #3).
+        consumed_files = list(snap["files"])
         from ..functions.canon import canonicalize_url
 
-        c = self.seed_requests.read().withColumn(
-            "_c", canonicalize_url(F.col("url"))
+        batch = self.spark.read.schema(schemas.SEED_REQUESTS).parquet(
+            *[str(self.seed_requests.path / rel) for rel in consumed_files]
+        ) if consumed_files else self.spark.createDataFrame(
+            [], schemas.SEED_REQUESTS
         )
+        c = batch.withColumn("_c", canonicalize_url(F.col("url")))
         cand = c.where(F.col("_c.url_canon").isNotNull()).select(
             "url",
             F.col("_c.url_canon").alias("url_canon"),
@@ -391,22 +406,34 @@ class CrawlEngine:
         )
         cand = (cand.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1).drop("_rn"))
+        obs = Observation()
         fresh = cand.join(self.frontier.read().select("url_hash"),
-                          "url_hash", "left_anti").cache()
-        n = fresh.count()
-        if n:
-            self.frontier.delta_commit(
-                appends=fresh,
-                lineage={"round": round_no, "stage": "seed_requests"},
-                coalesce=self.write_coalesce,
-            )
-        # ack: the queue is emptied in its own atomic commit
-        self.seed_requests.overwrite(
-            self.spark.createDataFrame([], schemas.SEED_REQUESTS),
-            lineage={"round": round_no, "stage": "ack"},
-            metrics={"pending": 0},
+                          "url_hash", "left_anti").observe(
+            obs, F.count(F.lit(1)).alias("n"))
+        # ONE action (count observed on the commit's write job).  No
+        # "round" lineage key: last_round() must only advance on the
+        # end-of-round frontier commit — tagging this fold with round_no
+        # made a crash-before-round-commit resume skip straight past
+        # round_no (ADVICE r03 #4).
+        self.frontier.delta_commit(
+            appends=fresh,
+            lineage={"stage": "seed_requests", "at_round": round_no},
+            coalesce=self.write_coalesce,
         )
-        fresh.unpersist()
+        n = int(obs.get["n"] or 0)
+        # ack: drop exactly the consumed files (manifest-only commit);
+        # files appended since the consuming read stay pending.
+        now = self.seed_requests.current_snapshot() or {}
+        consumed = set(consumed_files)
+        remaining = [f for f in (now.get("files") or [])
+                     if f not in consumed]
+        rem_pending = ((now.get("metrics") or {}).get("pending", 0)
+                       - pending0)
+        self.seed_requests.replace_files(
+            remaining,
+            lineage={"round": round_no, "stage": "ack"},
+            metrics={"pending": max(int(rem_pending), 0)},
+        )
         return n
 
     # ------------------------------------------------------------- F7 ids_seen
@@ -506,7 +533,9 @@ class CrawlEngine:
             frontier = filter_allowed(frontier, self.robots.read())
         obs_front = Observation()
         frontier = frontier.observe(
-            obs_front, F.count(F.lit(1)).alias("n")
+            obs_front,
+            F.count(F.lit(1)).alias("n"),
+            F.min("not_before_round").alias("min_nb"),
         ).cache()
 
         # One Spark job materializes schedule→fetch→parse→scratch; every
@@ -562,9 +591,26 @@ class CrawlEngine:
                 log.setdefault(row["host"], []).append(row["url_canon"])
             self.schedule_log[round_no] = log
         if n_scheduled == 0:
+            front_stats = obs_front.get
+            n_frontier = int(front_stats["n"] or 0)
             frontier.unpersist()
             scheduled.unpersist()
             _shutil.rmtree(scratch, ignore_errors=True)
+            if n_frontier > 0:
+                # NOT done: the frontier still holds rows, all of them
+                # backoff retries gated on a future not_before_round
+                # (anything eligible would have been scheduled).  A
+                # "done" here would permanently strand those retries —
+                # including across resumes, since nothing commits in
+                # this path (ADVICE r03 #2).  Hand crawl() the earliest
+                # eligible round so it fast-forwards instead.
+                next_eligible = max(int(front_stats["min_nb"] or 0),
+                                    round_no + 1)
+                return {"round": round_no, "scheduled": 0, "fetched": 0,
+                        "parsed_items": 0, "discovered": 0,
+                        "pending": n_frontier,
+                        "next_eligible_round": next_eligible,
+                        "done": False}
             return {"round": round_no, "scheduled": 0, "fetched": 0,
                     "parsed_items": 0, "discovered": 0, "done": True}
 
@@ -802,11 +848,24 @@ class CrawlEngine:
     # ------------------------------------------------------------ lifecycle
 
     def last_round(self) -> int:
-        """Highest fully-committed round (frontier manifest lineage)."""
+        """Highest fully-committed round: the newest frontier snapshot
+        whose lineage carries a "round" key.  Out-of-band commits
+        (requeue, seed-request folds) are tagged with "at_round" instead
+        and are skipped — they must not advance the resume marker."""
         snap = self.frontier.current_snapshot()
-        if snap is None:
-            return -1
-        return int(snap["lineage"].get("round", 0))
+        while snap is not None:
+            lin = snap.get("lineage") or {}
+            if "round" in lin:
+                return int(lin["round"])
+            parent = snap.get("parent")
+            if not parent:
+                break
+            import json as _json
+
+            snap = _json.loads(
+                (self.frontier.path / "snapshots" / parent).read_text()
+            )
+        return -1
 
     def crawl(self, n_rounds: int, start_round: int | None = None) -> list[dict]:
         """Run up to ``n_rounds`` supersteps in [start, start+n_rounds);

@@ -50,10 +50,19 @@ from pyspark.sql.types import StructType
 class SnapshotTable:
     """One logical table with atomic snapshot commits."""
 
-    def __init__(self, spark: SparkSession, path: str | Path, schema: StructType):
+    def __init__(self, spark: SparkSession, path: str | Path,
+                 schema: StructType, hive_dirs: bool = False):
         self.spark = spark
         self.path = Path(path)
         self.schema = schema
+        # hive_dirs: data dirs contain hive partition subdirs
+        # (item_kind=...).  A single multi-path read on those raises
+        # CONFLICTING_DIRECTORY_STRUCTURES (each dir is its own
+        # partition root), so they are read per-dir + unionByName.
+        # Flat tables use ONE multi-path scan: plan depth stays O(1)
+        # however many delta commits accumulate (a union chain grew the
+        # analysis cost O(rounds) per read — ADVICE r03 #1).
+        self.hive_dirs = hive_dirs
         (self.path / "data").mkdir(parents=True, exist_ok=True)
         (self.path / "snapshots").mkdir(parents=True, exist_ok=True)
 
@@ -142,6 +151,15 @@ class SnapshotTable:
         """Commit an already-written data dir without rewriting it."""
         return self._commit([rel], "append", lineage, metrics)
 
+    def replace_files(self, files: list[str], lineage: dict | None = None,
+                      metrics: dict | None = None) -> dict:
+        """Point the table at an explicit data-file list (manifest-only
+        commit, no Spark job).  Consume-with-ack uses it to drop exactly
+        the data files a consumer read, keeping files appended since —
+        an ack that truncated the whole table would silently drop rows
+        enqueued between the consuming read and the ack (ADVICE r03 #3)."""
+        return self._commit(list(files), "overwrite", lineage, metrics)
+
     def append(self, df: DataFrame, lineage: dict | None = None,
                metrics: dict | None = None,
                partition_by: list[str] | None = None,
@@ -222,20 +240,24 @@ class SnapshotTable:
         snap = self.current_snapshot()
         if not snap or not snap["files"]:
             return self.spark.createDataFrame([], self.schema)
-        # One read per data dir, unioned: a single multi-path read breaks
-        # on hive-partitioned dirs (each dir is its own partition root —
-        # CONFLICTING_DIRECTORY_STRUCTURES), and unionByName also
-        # normalizes partition-column order.  Dir count is bounded by the
-        # compaction cadence.
-        dfs = [
-            self.spark.read.schema(self.schema).parquet(
-                str(self.path / rel)
-            )
-            for rel in snap["files"]
-        ]
-        df = dfs[0]
-        for other in dfs[1:]:
-            df = df.unionByName(other)
+        paths = [str(self.path / rel) for rel in snap["files"]]
+        if self.hive_dirs and len(paths) > 1:
+            # One read per data dir, unioned: a single multi-path read
+            # breaks on hive-partitioned dirs (each dir is its own
+            # partition root — CONFLICTING_DIRECTORY_STRUCTURES), and
+            # unionByName also normalizes partition-column order.  Dir
+            # count is bounded by the compaction cadence.
+            dfs = [
+                self.spark.read.schema(self.schema).parquet(p)
+                for p in paths
+            ]
+            df = dfs[0]
+            for other in dfs[1:]:
+                df = df.unionByName(other)
+        else:
+            # Flat dirs: ONE multi-path scan — constant plan depth and
+            # one file-listing job regardless of commit count.
+            df = self.spark.read.schema(self.schema).parquet(*paths)
         dels = snap.get("delete_files") or []
         if dels:
             # Equality-delete apply (merge-on-read).  Delete sets are
