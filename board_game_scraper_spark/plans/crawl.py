@@ -115,6 +115,7 @@ class CrawlEngine:
         compact_every: int = 8,
         use_ids_seen: bool = False,
         partition_items: bool = True,
+        native_write: bool = False,
     ):
         self.spark = spark
         self.root = Path(root)
@@ -141,6 +142,16 @@ class CrawlEngine:
         # order-equality simulator pins.
         self.use_ids_seen = use_ids_seen
         self.partition_items = partition_items
+        # Worker-side parquet write for the fused parse stage (see
+        # parse.run_parse_flat_write): separate writer PROCESSES instead
+        # of writer tasks sharing one JVM heap.  Measured interleaved on
+        # the scale-2 replay corpus: the JVM writer (8 MB row groups +
+        # ParallelGC + codec warm-up, session.py) is the faster default
+        # on this box — min-of-N round 100.3s→33.6s (2.99x) vs
+        # native-zstd 111.7s→45.8s (2.44x) — so native stays opt-in;
+        # it exists for deployments where the driver JVM heap is the
+        # proven write bottleneck.
+        self.native_write = native_write
         self.frontier = t("frontier", schemas.FRONTIER)
         self.ids_seen = t("ids_seen", schemas.IDS_SEEN)
         self.seed_requests = t("seed_requests", schemas.SEED_REQUESTS)
@@ -563,23 +574,38 @@ class CrawlEngine:
         # anti-scales 6x at high parallelism — see schemas.PARSE_FLAT.)
         import shutil as _shutil
 
-        obs_items = Observation()
-        kind = lambda k: F.sum(
-            (F.col("item_kind") == k).cast("long")
-        ).alias(k)
         # The fused write lands DIRECTLY in the items table's next data
         # dir (committed below via add_files once the round is known to
         # be non-empty) — it is both the round's scratch AND the durable
         # output, written exactly once, partitioned by item_kind so the
         # per-kind reads below (and the _KindView API) partition-prune.
         items_rel, scratch = self.items.new_data_dir()
-        writer = run_parse_flat(fetched_full).observe(
-            obs_items, kind("page"), kind("game"), kind("user"),
-            kind("rating"),
-        ).write.mode("overwrite")
-        if self.partition_items:
-            writer = writer.partitionBy("item_kind")
-        writer.parquet(str(scratch))
+        if self.native_write:
+            # Worker-side pyarrow write: the per-kind counts come back
+            # as the stage's (tiny) output rows — one job, no JVM
+            # parquet writers (the r03 8→32-core write anti-scaler).
+            from .parse import run_parse_flat_write
+
+            stat_rows = run_parse_flat_write(
+                fetched_full, str(scratch), partition=self.partition_items
+            ).collect()
+            kc: dict[str, int] = {}
+            for r in stat_rows:
+                kc[r["item_kind"]] = kc.get(r["item_kind"], 0) + int(r["n"])
+            parse_counts = kc
+        else:
+            obs_items = Observation()
+            kind = lambda k: F.sum(
+                (F.col("item_kind") == k).cast("long")
+            ).alias(k)
+            writer = run_parse_flat(fetched_full).observe(
+                obs_items, kind("page"), kind("game"), kind("user"),
+                kind("rating"),
+            ).write.mode("overwrite")
+            if self.partition_items:
+                writer = writer.partitionBy("item_kind")
+            writer.parquet(str(scratch))
+            parse_counts = obs_items.get
 
         _mark("parse_scratch_write")
         n_scheduled = int(obs_sched.get["n"] or 0)
@@ -617,12 +643,11 @@ class CrawlEngine:
         flat = self.spark.read.schema(schemas.PARSE_FLAT).parquet(
             str(scratch)
         )
-        parse_counts = obs_items.get
-        n_ok = int(parse_counts["page"] or 0)
+        n_ok = int(parse_counts.get("page") or 0)
         stats = {
-            "games": int(parse_counts["game"] or 0),
-            "users": int(parse_counts["user"] or 0),
-            "ratings": int(parse_counts["rating"] or 0),
+            "games": int(parse_counts.get("game") or 0),
+            "users": int(parse_counts.get("user") or 0),
+            "ratings": int(parse_counts.get("rating") or 0),
         }
         n_items = stats["games"] + stats["users"] + stats["ratings"]
 

@@ -1524,6 +1524,119 @@ def run_parse_flat(fetched, target_partitions: int | None = 0):
     return src.mapInArrow(parse_flat_batches, PARSE_FLAT)
 
 
+def parse_flat_write_batches(batches, out_dir: str, partition: bool,
+                             codec: str):
+    """Worker-side parquet sink for the fused parse stage: wraps
+    ``parse_flat_batches`` and writes its output straight from the
+    Python worker with pyarrow, yielding only tiny per-kind row counts.
+
+    WHY: at local[32] the JVM parquet writer puts 32 writer tasks in ONE
+    heap — column-writer allocation + codec buffers made the write stage
+    scale only ~1.6x from 8→32 cores while the parse compute scaled
+    3.28x (BENCH/BASELINE.md decomposition, VERDICT r03 'next' #1).
+    Python workers are separate PROCESSES: each writes its own file with
+    its own allocator, which is exactly the per-executor layout a real
+    cluster has.  The JVM side of the stage now only carries the stats
+    rows.
+
+    Files land as ``item_kind=<kind>/part-<task>.parquet`` (hive layout,
+    same as the JVM ``partitionBy`` writer) or flat when ``partition``
+    is false.  Each file is written to a dot-prefixed temp name and
+    renamed on task completion, so a failed/retried task never leaves a
+    half-written file visible to the parquet reader (dot-files are
+    ignored by Spark's file index)."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    task_id = uuid.uuid4().hex
+    writers: dict[str, tuple] = {}
+    counts: dict[str, int] = {}
+
+    def get_writer(kind: str, schema: pa.Schema):
+        got = writers.get(kind)
+        if got is None:
+            d = (os.path.join(out_dir, f"item_kind={kind}")
+                 if partition else out_dir)
+            os.makedirs(d, exist_ok=True)
+            final = os.path.join(d, f"part-{task_id}-{kind}.parquet")
+            tmp = os.path.join(d, f".tmp-{task_id}-{kind}.parquet")
+            got = (pq.ParquetWriter(tmp, schema, compression=codec),
+                   tmp, final)
+            writers[kind] = got
+        return got[0]
+
+    try:
+        for rb in parse_flat_batches(batches):
+            kinds_col = rb.column(1)  # item_kind
+            for kind in pc.unique(kinds_col).to_pylist():
+                sub = rb.filter(pc.equal(kinds_col, kind))
+                counts[kind] = counts.get(kind, 0) + sub.num_rows
+                tbl = pa.Table.from_batches([sub])
+                if partition:
+                    # the partition value lives in the dir name
+                    tbl = tbl.drop_columns(["item_kind"])
+                    wkey = kind
+                else:
+                    wkey = "_all"
+                get_writer(wkey, tbl.schema).write_table(tbl)
+    finally:
+        for w, tmp, final in writers.values():
+            w.close()
+    for _, tmp, final in writers.values():
+        os.rename(tmp, final)
+    if counts:
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(list(counts.keys()), pa.string()),
+             pa.array([counts[k] for k in counts], pa.int64())],
+            names=["item_kind", "n"],
+        )
+
+
+def run_parse_flat_write(fetched, out_dir: str, partition: bool = True,
+                         codec: str | None = None,
+                         target_partitions: int | None = 0):
+    """Fused parse + worker-side parquet write: returns a tiny
+    (item_kind, n) stats DataFrame whose materialization runs the whole
+    schedule→fetch→parse→write pipeline as ONE job and lands the
+    PARSE_FLAT rows in ``out_dir`` (the items table's next data dir —
+    committed afterwards via ``SnapshotTable.add_files``).
+
+    Codec default comes from $SPARK_GRAFT_NATIVE_CODEC (else snappy,
+    matching the JVM writer); each worker process compresses
+    independently (no shared-JVM codec contention)."""
+    import os
+    from functools import partial
+
+    if codec is None:
+        codec = os.getenv("SPARK_GRAFT_NATIVE_CODEC", "snappy")
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    src = fetched.select(
+        "url_canon", "callback_kind", "body", "url_hash", "host",
+        "priority", "attempt", "status", "latency_ms",
+    )
+    if target_partitions is None:
+        target_partitions = (
+            fetched.sparkSession.sparkContext.defaultParallelism * 2
+        )
+    if target_partitions:
+        src = src.repartition(target_partitions)
+    stats_schema = StructType([
+        StructField("item_kind", StringType(), False),
+        StructField("n", LongType(), False),
+    ])
+    fn = partial(parse_flat_write_batches, out_dir=out_dir,
+                 partition=partition, codec=codec)
+    return src.mapInArrow(fn, stats_schema)
+
+
 def run_parse(fetched_ok, target_partitions: int | None = None):
     """fetched (status==200) → PARSED DataFrame (one Arrow stage).
 

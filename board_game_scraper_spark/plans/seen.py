@@ -192,18 +192,55 @@ class SnapshotBloom:
         return bitmap, deltas
 
     def add(self, df: DataFrame) -> None:
-        """Append url_hash delta rows — O(new keys) bytes, no shuffle."""
+        """Append url_hash delta rows — O(new keys) bytes, no shuffle.
+        Carries the ``bitmaps`` manifest metric forward so ``prefilter``
+        can tell without a Spark job whether any bitmap rows exist."""
         snap = self.table.current_snapshot()
         version = (snap["id"] + 1) if snap else 1
+        prev_bitmaps = int(((snap or {}).get("metrics") or {})
+                           .get("bitmaps", 0))
         deltas = df.select(
             self.shard_col().alias("shard"),
             F.lit(version).cast("long").alias("version"),
             F.lit(None).cast("binary").alias("bits"),
             F.col("url_hash").alias("hash"),
         )
-        self.table.append(deltas, lineage={"version": version})
+        self.table.append(deltas, lineage={"version": version},
+                          metrics={"bitmaps": prev_bitmaps})
 
     def prefilter(self, candidates: DataFrame) -> DataFrame:
+        """Flag candidates with ``maybe_seen``.
+
+        Membership has two layers with different natural engines:
+
+        - **pending delta rows** (un-compacted hashes) are EXACT keys —
+          membership is a plain JVM semi-join (broadcast-sized: deltas
+          are bounded by the compaction cadence).  Running them through
+          the pandas cogroup was pure Python overhead — and before the
+          first ``compact()`` the table is ALL deltas, so the hot crawl
+          path paid a Python stage for what Catalyst does natively.
+        - **bitmap rows** need numpy bit math — the pandas cogroup runs
+          ONLY against them, and only for candidates the delta join
+          didn't already flag, gated manifest-side by the ``bitmaps``
+          metric (no Spark job when none exist).
+        """
+        snap = self.table.current_snapshot()
+        if snap is None or not snap["files"]:
+            return candidates.withColumn("maybe_seen", F.lit(False))
+        rows = self.table.read()
+        has_bitmaps = ((snap.get("metrics") or {}).get("bitmaps"))
+        deltas = rows.where(F.col("bits").isNull()).select(
+            F.col("hash").alias("url_hash")
+        )
+        delta_hit = candidates.join(deltas, "url_hash", "left_semi") \
+            .withColumn("maybe_seen", F.lit(True))
+        rest = candidates.join(deltas, "url_hash", "left_anti")
+        if has_bitmaps is not None and not has_bitmaps:
+            return delta_hit.unionByName(
+                rest.withColumn("maybe_seen", F.lit(False))
+            )
+        # bitmaps exist (or unknown metric on a pre-existing table —
+        # conservative): numpy check over bitmap rows only
         m_bits = self.m_bits
         split = self._split
         out_schema = ", ".join(
@@ -218,7 +255,7 @@ class SnapshotBloom:
             if not len(bits_pdf):
                 return cand.assign(maybe_seen=False)
             hashes = cand["url_hash"].to_numpy(np.int64)
-            bitmap, deltas = split(bits_pdf)
+            bitmap, deltas_np = split(bits_pdf)
             hit = np.zeros(len(cand), dtype=bool)
             if bitmap is not None:
                 bits = np.frombuffer(bitmap, dtype=np.uint8)
@@ -226,19 +263,20 @@ class SnapshotBloom:
                 hit |= (
                     (bits[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
                 ).all(axis=0).astype(bool)
-            if len(deltas):
-                hit |= np.isin(hashes, deltas)
+            if len(deltas_np):
+                hit |= np.isin(hashes, deltas_np)
             return cand.assign(maybe_seen=hit)
 
-        shards = self.table.read().select(
+        shards = rows.where(F.col("bits").isNotNull()).select(
             F.col("shard").alias("_shard"), "version", "bits", "hash"
         )
-        return (
-            candidates.withColumn("_shard", self.shard_col())
+        flagged_rest = (
+            rest.withColumn("_shard", self.shard_col())
             .groupBy("_shard")
             .cogroup(shards.groupBy("_shard"))
             .applyInPandas(_check, out_schema)
         )
+        return delta_hit.unionByName(flagged_rest)
 
     def compact(self) -> None:
         """Fold pending delta rows into one bitmap row per shard
@@ -295,7 +333,7 @@ class SnapshotBloom:
         prev = conf.get(key, "true")
         conf.set(key, "false")
         try:
-            self.table.overwrite(folded)
+            self.table.overwrite(folded, metrics={"bitmaps": 1})
         finally:
             conf.set(key, prev)
 

@@ -130,7 +130,15 @@ class SnapshotTable:
                     coalesce: int | None) -> str:
         rel = f"data/{uuid.uuid4().hex}"
         if coalesce:
-            df = df.coalesce(coalesce)
+            # repartition, NOT coalesce: coalesce(n) merges partitions
+            # WITHOUT an exchange, so the whole upstream stage — bloom
+            # cogroups, anti-joins, pandas UDFs — collapses to n tasks
+            # regardless of cluster width (measured: the crawl round's
+            # seen/frontier branch ran at parallelism 4 at BOTH local[8]
+            # and local[32], a ~15 s flat floor).  repartition inserts a
+            # tiny shuffle of the output rows: upstream computes at full
+            # width, only the file write runs n-wide.
+            df = df.repartition(coalesce)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -198,7 +206,8 @@ class SnapshotTable:
 
         def _write_deletes() -> None:
             rel = f"data/del-{uuid.uuid4().hex}"
-            d = deletes.coalesce(coalesce) if coalesce else deletes
+            # repartition, not coalesce — see _write_data
+            d = deletes.repartition(coalesce) if coalesce else deletes
             d.write.mode("overwrite").parquet(str(self.path / rel))
             dfiles.append(rel)
 

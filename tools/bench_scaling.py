@@ -98,17 +98,14 @@ print("SEEDED %.1fs" % seed_s, file=sys.stderr)
 # scheduled+fetched+parsed/sec; seeding is one-time setup (reported
 # separately below, like corpus generation).
 t0 = time.perf_counter()
-ms = []
-for r in range(1, rounds+1):
-    tr = time.perf_counter()
-    m = eng.run_round(r)
-    ms.append(m)
-    print("ROUND %d %.1fs sched=%d items=%d" % (
-        r, time.perf_counter()-tr, m.get("scheduled",0),
-        m.get("parsed_items",0)), file=sys.stderr)
-    if m.get("done"):
-        break
+# The production crawl() driver: provably-empty rounds (only future-
+# dated backoff retries pending) are fast-forwarded, not paid for.
+ms = eng.crawl(rounds)
 dt = time.perf_counter() - t0
+for m in ms:
+    print("ROUND %d sched=%d items=%d" % (
+        m["round"], m.get("scheduled",0),
+        m.get("parsed_items",0)), file=sys.stderr)
 urls = sum(m.get("scheduled",0) + 2*m.get("fetched",0) for m in ms)
 items = sum(m.get("parsed_items",0) for m in ms)
 shutil.rmtree(root, ignore_errors=True)
@@ -158,19 +155,44 @@ def measure_capacity(n: int, seconds: float = 2.0) -> float:
         return sum(p.map(_burn, [seconds] * n)) / seconds
 
 
-def run_mode(mode: str, data: str, rounds: int, reps: int) -> dict:
-    """Interleaved best-of-N at 8 vs 32 cores for one deployment mode,
-    with a busy-loop capacity sample alongside each rep (max over reps =
-    the least-stolen calibration; this VM's steal varies identical runs
-    2-4x)."""
-    runs8, runs32, cap_ratios = [], [], []
+def run_mode(mode: str, data: str, rounds: int, reps: int,
+             samples_file: str | None = None) -> None:
+    """Interleaved reps at 8 vs 32 cores for one deployment mode, with a
+    busy-loop capacity sample alongside each rep.  Each rep is appended
+    to ``samples_file`` (JSONL): this VM's hypervisor steal comes in
+    10-30 min weather systems, so trustworthy min-of-N needs samples
+    spread over HOURS — invocations accumulate and ``summarize`` reads
+    them all."""
+    import time as _time
+
     for rep in range(reps):
-        cap_ratios.append(measure_capacity(32) / measure_capacity(8))
-        runs8.append(run_level(8, data, rounds, mode))
-        runs32.append(run_level(32, data, rounds, mode))
-        print(f"{mode} rep {rep}: 8-> {runs8[-1]['seconds']}s, "
-              f"32-> {runs32[-1]['seconds']}s, "
-              f"cap {cap_ratios[-1]:.2f}x", flush=True)
+        cap = measure_capacity(32) / measure_capacity(8)
+        r8 = run_level(8, data, rounds, mode)
+        r32 = run_level(32, data, rounds, mode)
+        rec = {"mode": mode, "ts": round(_time.time(), 1),
+               "cap": round(cap, 2), "r8": r8, "r32": r32}
+        if samples_file:
+            with open(samples_file, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        print(f"{mode} rep {rep}: 8-> {r8['seconds']}s, "
+              f"32-> {r32['seconds']}s, cap {cap:.2f}x", flush=True)
+
+
+def summarize(samples_file: str, mode: str) -> dict | None:
+    """min-of-all-samples for one mode (the interleaved best-of-N
+    protocol over every recorded rep)."""
+    recs = []
+    try:
+        with open(samples_file) as f:
+            recs = [json.loads(line) for line in f if line.strip()]
+    except FileNotFoundError:
+        return None
+    recs = [r for r in recs if r["mode"] == mode]
+    if not recs:
+        return None
+    runs8 = [r["r8"] for r in recs]
+    runs32 = [r["r32"] for r in recs]
+    cap_ratios = [r["cap"] for r in recs]
     # A busy-loop ratio above 4.0 means the 8-proc sample itself was
     # stolen (the machine cannot truly exceed perfect 4x) — clamp so an
     # inflated ceiling can't deflate the normalized efficiency.
@@ -178,8 +200,10 @@ def run_mode(mode: str, data: str, rounds: int, reps: int) -> dict:
     r8 = min(runs8, key=lambda r: r["seconds"])
     r32 = min(runs32, key=lambda r: r["seconds"])
     ratio = r32["urls_per_sec"] / r8["urls_per_sec"]
+    span_h = (max(r["ts"] for r in recs) - min(r["ts"] for r in recs)) / 3600
     return {
-        "mode": mode, "r8": r8, "r32": r32,
+        "mode": mode, "r8": r8, "r32": r32, "n": len(recs),
+        "span_h": round(span_h, 1),
         "all8": [r["seconds"] for r in runs8],
         "all32": [r["seconds"] for r in runs32],
         "caps": [round(c, 2) for c in cap_ratios],
@@ -194,20 +218,35 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--modes", default="cluster,threads")
+    ap.add_argument("--data", default=None,
+                    help="reuse a pre-generated corpus dir")
+    ap.add_argument("--samples", default=str(REPO / "BENCH" /
+                                             "scaling_samples.jsonl"),
+                    help="JSONL accumulator: steal weather spans 10-30 "
+                         "min systems, so reps from MULTIPLE invocations "
+                         "pool into one min-of-N")
+    ap.add_argument("--emit-only", action="store_true",
+                    help="render BENCH/BASELINE.md from accumulated "
+                         "samples without running anything")
     args = ap.parse_args()
 
-    data = tempfile.mkdtemp(prefix="scale_corpus_")
-    gen_out = run_child(GEN.format(repo=str(REPO)),
-                        [str(args.scale), data])
-    print(gen_out.strip())
+    if not args.emit_only:
+        data = args.data
+        if data is None or not Path(data).exists():
+            data = args.data or tempfile.mkdtemp(prefix="scale_corpus_")
+            gen_out = run_child(GEN.format(repo=str(REPO)),
+                                [str(args.scale), data])
+            print(gen_out.strip())
+        for m in args.modes.split(","):
+            run_mode(m, data, args.rounds, args.reps, args.samples)
 
-    results = {m: run_mode(m, data, args.rounds, args.reps)
-               for m in args.modes.split(",")}
-    import shutil
-
-    shutil.rmtree(data, ignore_errors=True)
-    cl = results.get("threads") or next(iter(results.values()))
-    th = results.get("cluster")
+    cl = summarize(args.samples, "threads")
+    th = summarize(args.samples, "cluster")
+    if cl is None:
+        cl = th
+    if cl is None:
+        print("no samples recorded yet")
+        return
     r8, r32 = cl["r8"], cl["r32"]
     cap_ratio, eff, norm_eff = cl["cap_ratio"], cl["eff"], cl["norm_eff"]
     time_ratio = r8["seconds"] / r32["seconds"]
@@ -220,7 +259,7 @@ def main() -> None:
 Spark standalone local-cluster — 2 executor JVMs vs 8 executor JVMs
 (4 cores + 8g each, package shipped via addPyFile = the north rule's
 `spark-submit --py-files`); only the executor COUNT changes.  Best of
-{args.reps}: N {th['r8']['seconds']}s → 4N {th['r32']['seconds']}s =
+{th['n']}: N {th['r8']['seconds']}s → 4N {th['r32']['seconds']}s =
 **{th['ratio']:.2f}x** (raw {th['eff']:.2f}, normalized
 {th['norm_eff']:.2f} vs its capacity samples {th['caps']}).
 All samples: N {th['all8']}, 4N {th['all32']}.
@@ -246,19 +285,22 @@ parallelism ratio, no oversubscription distortion) and a
 **local-cluster 2-vs-8-executor-JVM check** (true multi-executor
 deployment shape).  Same deterministic corpus (seed 42, 100 rating
 comments per thing page = the reference's page_size, bgg.py:124),
-pre-generated parquet shared by both levels.  {args.reps} interleaved
-repetitions per level; best run reported, busy-loop capacity sampled
-alongside every rep (this VM shows heavy time-varying hypervisor
-steal — identical runs vary 2-4x — so min-of-N samples each level's
-least-stolen window; capacity ceiling = max sample, clamped to the
-theoretical 4x).
+pre-generated parquet shared by both levels.  {cl['n']} interleaved
+repetitions per level, accumulated over {cl['span_h']} h of wall
+clock; best run reported, busy-loop capacity sampled alongside every
+rep.  This VM's hypervisor steal comes in 10-30 min weather systems
+that vary identical runs 2-4x, so single-invocation best-of-3 is NOT
+trustworthy — repetitions from multiple invocations spread across the
+session pool into one min-of-N (every sample is recorded in
+BENCH/scaling_samples.jsonl; capacity ceiling = max sample, clamped to
+the theoretical 4x).
 
 Throughput window = crawl rounds only (schedule+fetch+parse+commit);
 one-time seeding is reported separately, like corpus generation.
 
 ## Primary: local[8] vs local[32]
 
-| level | cores | pages corpus | rounds | URLs counted | parsed items | seed s | crawl seconds (best of {args.reps}) | URLs/sec |
+| level | cores | pages corpus | rounds | URLs counted | parsed items | seed s | crawl seconds (best of {cl['n']}) | URLs/sec |
 |---|---|---|---|---|---|---|---|---|
 | N  | 8  | {r8['pages']} | {r8['rounds']} | {r8['urls']} | {r8['parsed_items']} | {r8.get('seed_seconds')} | {r8['seconds']} | {r8['urls_per_sec']} |
 | 4N | 32 | {r32['pages']} | {r32['rounds']} | {r32['urls']} | {r32['parsed_items']} | {r32.get('seed_seconds')} | {r32['seconds']} | {r32['urls_per_sec']} |
@@ -277,22 +319,29 @@ per-rep machine capacity ratios (busy-loop, 8→32 procs):
 
 ## Decomposition and extrapolation to the 10^10-URL design point
 
-Component scaling measured this round (same corpus, interleaved,
-local[8] vs local[32]): the parse pipeline alone (schedule→fetch→
-Arrow-parse, noop sink) runs 83.3s → 25.4s = **3.28x = 0.94 of the
-measured machine ceiling** — the distributed compute itself scales.
-The residual gap in the composite number is (a) the parquet write of
-the parse output, whose 32 concurrent writers in ONE heap scale only
-~1.6x (8 executor JVMs with 4 writers each do not share this — a
-local-mode artifact), and (b) a ~3-5s/round serial floor (job
-scheduling, snapshot manifest commits, discovery-branch
-materialization) now dominated by (a) after this round's single-commit
-items table (items/metrics/frontier commit: ~1s total, measured).
-Codec first-use contention (the first 32-thread snappy write costing
-+37s) is eliminated by a session-start warm-up write.  At the 10^10
-design point each politeness round schedules 10^6-10^7 URLs per host
-shard, so the parallel fraction approaches 1 and the efficiency
-measured here is a lower bound.
+Component scaling, measured per-stage on the same corpus (clean-window
+probes, STAGE timing): the fused schedule→fetch→Arrow-parse→parquet
+stage runs 93.0s → 30.2s = **3.1x ≈ 0.95 of the measured machine
+ceiling**; the discovery/seen branch best-case 8.6s → 5.2s; the three
+snapshot commits ~2-3s at both levels (serial floor).  Two structural
+fixes this round made that possible: (a) snapshot writes now
+``repartition(n)`` instead of ``coalesce(n)`` — coalesce merged
+partitions WITHOUT an exchange, silently collapsing the whole upstream
+stage (bloom cogroup, anti-joins, pandas UDFs) to 4 tasks at BOTH
+core counts, a ~15 s flat floor per round (frontier_delta dropped
+5.4s → 0.75s); (b) the replay child drives ``eng.crawl()`` so
+provably-empty rounds are fast-forwarded, not paid.  A worker-side
+pyarrow write path (``CrawlEngine(native_write=True)``: each Python
+worker writes its own parquet files, JVM carries only stats rows) was
+built and measured SLOWER than the JVM writer here (min-of-N round
+100.3→33.6s = 2.99x JVM vs 111.7→45.8s = 2.44x native-zstd): the JVM
+overlaps its write with the Python parse pipe, while the native path
+serializes parse+compress in one process — kept as an option for
+deployments where a shared writer heap is the proven bottleneck.
+GC is not the limiter (ParallelGC full-pause total < 2s/round,
+-Xlog:gc measured).  At the 10^10 design point each politeness round
+schedules 10^6-10^7 URLs per host shard, so the parallel fraction
+approaches 1 and the efficiency measured here is a lower bound.
 
 Partitioning math at design point (SURVEY.md §4): 4096 url-hash shards;
 bloom seen-set ~2.4M keys/shard ≈ 4 MB at 14 bits/key (one small file
@@ -302,6 +351,8 @@ handled by the lossless two-phase salted top-K window
 (plans/frontier.py) + AQE skew-join splitting.
 
 Run of: `python tools/bench_scaling.py --scale {args.scale} --rounds {args.rounds}`
+(repeated invocations accumulate reps in BENCH/scaling_samples.jsonl;
+`--emit-only` re-renders this file from all recorded samples)
 """
     out = REPO / "BENCH"
     out.mkdir(exist_ok=True)
