@@ -360,8 +360,23 @@ def q_cosine_topk(spark, sf_dir):
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return top.withColumn("rk", F.row_number().over(w))
+    # Rank over the 10 surviving rows WITHOUT a global window (keeps
+    # the bench tail free of WARN WindowExec noise): rk = 1 + number of
+    # rows strictly ahead in (cosine desc, vec_id asc) order — a 10×10
+    # broadcast self-join.
+    ahead = top.select(F.col("cosine").alias("_c2"),
+                       F.col("vec_id").alias("_v2"))
+    return (
+        top.join(
+            F.broadcast(ahead),
+            (F.col("_c2") > F.col("cosine"))
+            | ((F.col("_c2") == F.col("cosine"))
+               & (F.col("_v2") < F.col("vec_id"))),
+            "left",
+        )
+        .groupBy("vec_id", "cosine")
+        .agg((F.count("_v2") + 1).cast("int").alias("rk"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -44,11 +44,18 @@ def read_jsonl(
     df = reader.json(list(paths))
     if not with_file_seq:
         return df
-    w = Window.orderBy("_file_name")
+    # Scale-safe sequence numbering: the distinct file list is usually
+    # tiny, but a 10^6-file feed merge would single-task a global
+    # window — use the partition-parallel zipWithIndex from split.py.
+    from ..operators.split import global_row_ids
+
     files = (
-        df.select(F.input_file_name().alias("_file_name"))
-        .distinct()
-        .withColumn("_file_seq", F.row_number().over(w))
+        global_row_ids(
+            df.select(F.input_file_name().alias("_file_name")).distinct(),
+            ["_file_name"],
+            id_col="_file_seq",
+        )
+        .withColumn("_file_seq", F.col("_file_seq").cast("int"))
     )
     return (
         df.withColumn("_file_name", F.input_file_name())

@@ -209,16 +209,21 @@ def summarize(samples_file: str, mode: str) -> dict | None:
     # ONE weather window, so ratio/cap within a rep is the cleanest
     # apples-to-apples efficiency — pooled mins can pair an 8-core best
     # from one window with a capacity ceiling from another.
-    pair = max(
-        ((r["r8"]["seconds"] / r["r32"]["seconds"]) / min(r["cap"], 4.0),
-         r)
-        for r in recs
-    )
+    def _pair_norm(r: dict) -> float:
+        return (r["r8"]["seconds"] / r["r32"]["seconds"]) / min(r["cap"], 4.0)
+
+    # key=, not tuple-max: equal ratios would fall through to comparing
+    # the dicts themselves and raise TypeError (ADVICE r04 #5)
+    best = max(recs, key=_pair_norm)
+    pair_norms = sorted((round(_pair_norm(r), 2) for r in recs),
+                        reverse=True)
     return {
-        "best_pair_norm": round(pair[0], 2),
-        "best_pair": {"r8_s": pair[1]["r8"]["seconds"],
-                      "r32_s": pair[1]["r32"]["seconds"],
-                      "cap": pair[1]["cap"]},
+        "best_pair_norm": round(_pair_norm(best), 2),
+        "pair_norms": pair_norms,
+        "median_pair_norm": pair_norms[len(pair_norms) // 2],
+        "best_pair": {"r8_s": best["r8"]["seconds"],
+                      "r32_s": best["r32"]["seconds"],
+                      "cap": best["cap"]},
         "mode": mode, "r8": r8, "r32": r32, "n": len(recs),
         "span_h": round(span_h, 1),
         "all8": [r["seconds"] for r in runs8],
