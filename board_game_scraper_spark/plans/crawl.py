@@ -337,12 +337,21 @@ class CrawlEngine:
         # rides the commit's write job as an Observation.  No "round"
         # lineage key — requeue is an out-of-band insert, and the resume
         # marker must only advance on end-of-round commits.
-        self.frontier.delta_commit(
+        man = self.frontier.delta_commit(
             appends=fresh,
             lineage={"stage": "requeue", "at_round": round_no},
             coalesce=self.write_coalesce,
         )
-        return int(obs.get["n"] or 0)
+        n = int(obs.get["n"] or 0)
+        if n == 0 and man.get("added"):
+            # the append observed zero rows — retract the empty data dir
+            # so repeated no-op requeues don't grow the manifest's file
+            # list / read fan-in until the next compact (ADVICE r04 #3)
+            self.frontier.prune_files(
+                man["added"],
+                lineage={"stage": "requeue_noop", "at_round": round_no},
+            )
+        return n
 
     # ------------------------------------------------------- S10 seed requests
 
@@ -365,12 +374,29 @@ class CrawlEngine:
         ).cache()
         n = rows.count()
         if n:
-            snap = self.seed_requests.current_snapshot()
-            pending = ((snap or {}).get("metrics") or {}).get("pending", 0)
-            self.seed_requests.append(
-                rows, lineage={"stage": "enqueue"},
-                metrics={"pending": pending + n}, coalesce=1,
+            from ..tables import ConcurrentCommitError
+
+            # write the batch once, then CAS the manifest commit: the
+            # pending metric is a read-modify-write, so a concurrent
+            # enqueue/ack landing in between must force a re-read (the
+            # same lost-update class as the ack side, ADVICE r04 #4)
+            rel, _ = self.seed_requests.new_data_dir()
+            rows.repartition(1).write.mode("overwrite").parquet(
+                str(self.seed_requests.path / rel)
             )
+            while True:
+                snap = self.seed_requests.current_snapshot()
+                pending = ((snap or {}).get("metrics") or {}).get(
+                    "pending", 0)
+                try:
+                    self.seed_requests.add_files(
+                        rel, lineage={"stage": "enqueue"},
+                        metrics={"pending": pending + n},
+                        expected_parent=(snap or {}).get("name") or "",
+                    )
+                    break
+                except ConcurrentCommitError:
+                    continue
         rows.unpersist()
         return n
 
@@ -426,25 +452,43 @@ class CrawlEngine:
         # end-of-round frontier commit — tagging this fold with round_no
         # made a crash-before-round-commit resume skip straight past
         # round_no (ADVICE r03 #4).
-        self.frontier.delta_commit(
+        man = self.frontier.delta_commit(
             appends=fresh,
             lineage={"stage": "seed_requests", "at_round": round_no},
             coalesce=self.write_coalesce,
         )
         n = int(obs.get["n"] or 0)
+        if n == 0 and man.get("added"):
+            self.frontier.prune_files(
+                man["added"],
+                lineage={"stage": "seed_requests_noop",
+                         "at_round": round_no},
+            )
         # ack: drop exactly the consumed files (manifest-only commit);
-        # files appended since the consuming read stay pending.
-        now = self.seed_requests.current_snapshot() or {}
+        # files appended since the consuming read stay pending.  The
+        # replace compare-and-swaps on the snapshot the remaining list
+        # was computed from: an enqueue landing inside the manifest-IO
+        # window makes the CAS fail and we re-read, so the late
+        # producer's file is never silently clobbered (ADVICE r04 #4).
+        from ..tables import ConcurrentCommitError
+
         consumed = set(consumed_files)
-        remaining = [f for f in (now.get("files") or [])
-                     if f not in consumed]
-        rem_pending = ((now.get("metrics") or {}).get("pending", 0)
-                       - pending0)
-        self.seed_requests.replace_files(
-            remaining,
-            lineage={"round": round_no, "stage": "ack"},
-            metrics={"pending": max(int(rem_pending), 0)},
-        )
+        while True:
+            now = self.seed_requests.current_snapshot() or {}
+            remaining = [f for f in (now.get("files") or [])
+                         if f not in consumed]
+            rem_pending = ((now.get("metrics") or {}).get("pending", 0)
+                           - pending0)
+            try:
+                self.seed_requests.replace_files(
+                    remaining,
+                    lineage={"round": round_no, "stage": "ack"},
+                    metrics={"pending": max(int(rem_pending), 0)},
+                    expected_parent=now.get("name") or "",
+                )
+                break
+            except ConcurrentCommitError:
+                continue
         return n
 
     # ------------------------------------------------------------- F7 ids_seen
@@ -584,11 +628,14 @@ class CrawlEngine:
             # Worker-side pyarrow write: the per-kind counts come back
             # as the stage's (tiny) output rows — one job, no JVM
             # parquet writers (the r03 8→32-core write anti-scaler).
-            from .parse import run_parse_flat_write
+            from .parse import reconcile_task_attempts, run_parse_flat_write
 
             stat_rows = run_parse_flat_write(
                 fetched_full, str(scratch), partition=self.partition_items
             ).collect()
+            # exactly-once repair: drop files left by superseded task
+            # attempts before the dir is committed (ADVICE r04 #2)
+            reconcile_task_attempts(str(scratch))
             kc: dict[str, int] = {}
             for r in stat_rows:
                 kc[r["item_kind"]] = kc.get(r["item_kind"], 0) + int(r["n"])
@@ -837,6 +884,22 @@ class CrawlEngine:
                 # last fold into the per-shard bitmaps (same cadence as
                 # the frontier compaction — VERDICT r02 #2).
                 self.bloom.compact()
+            # Bound the append-only side tables' file counts on the same
+            # cadence (VERDICT r04 'wrong' #2: url_seen — scanned every
+            # round by filter_unseen — accumulated ~write_coalesce files
+            # per round forever).  Minor (bin-pack) compaction rewrites
+            # only the small tail since the last fold, never the whole
+            # table — O(rows/round) amortized even at a 10^10-row seen
+            # set.  Lineage is tagged at_round: these must not advance
+            # the resume marker.
+            side_lin = {"stage": "compact_minor", "at_round": round_no}
+            self.seen.compact_minor(
+                lineage=side_lin, coalesce=self.write_coalesce)
+            self.metrics.compact_minor(
+                lineage=side_lin, coalesce=self.write_coalesce)
+            if self.track_last_scraped:
+                self.last_scraped.compact_minor(
+                    lineage=side_lin, coalesce=self.write_coalesce)
 
         # Frontier-balance bookkeeping (all from observations — no extra
         # jobs): lets crawl() stop without paying for an empty round.

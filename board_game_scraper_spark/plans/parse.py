@@ -1551,8 +1551,19 @@ def parse_flat_write_batches(batches, out_dir: str, partition: bool,
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
+    from pyspark import TaskContext
 
-    task_id = uuid.uuid4().hex
+    # Filenames carry (partitionId, attemptNumber) so the DRIVER can
+    # reconcile after the job: a task retried/speculated after its
+    # renames leaves BOTH attempts' files visible (the rename below runs
+    # before Spark marks the task committed — ADVICE r04 #2), and the
+    # parse is deterministic per partition, so keeping exactly one file
+    # per (partition, kind) restores exactly-once output.  See
+    # reconcile_task_attempts().
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx else 0
+    att = ctx.attemptNumber() if ctx else 0
+    task_id = f"{pid:05d}-a{att}-{uuid.uuid4().hex[:8]}"
     writers: dict[str, tuple] = {}
     counts: dict[str, int] = {}
 
@@ -1594,6 +1605,50 @@ def parse_flat_write_batches(batches, out_dir: str, partition: bool,
              pa.array([counts[k] for k in counts], pa.int64())],
             names=["item_kind", "n"],
         )
+
+
+def reconcile_task_attempts(out_dir: str) -> int:
+    """Driver-side exactly-once repair for the worker-side write.
+
+    ``parse_flat_write_batches`` renames its temp files inside the task
+    (Python workers cannot see Spark's task-commit protocol), so a task
+    attempt that completed its renames but was then retried — failure
+    during result serialization, fetch failure, speculative execution —
+    leaves two attempts' files visible and would duplicate rows
+    (ADVICE r04 #2).  The parse is deterministic per input partition
+    (round-robin repartition is sort-stabilized by
+    spark.sql.execution.sortBeforeRepartition, default on), so every
+    attempt of a partition writes identical rows: keeping exactly ONE
+    file per (partition id, kind) — the highest attempt number —
+    restores exactly-once semantics.  Called by the driver after the
+    job succeeds, before the data dir is committed via ``add_files``.
+    Returns the number of duplicate files removed."""
+    import os
+    import re
+
+    pat = re.compile(r"part-(\d+)-a(\d+)-[0-9a-f]+-(.+)\.parquet$")
+    removed = 0
+    for root, _dirs, names in os.walk(out_dir):
+        best: dict[tuple[str, str], tuple[int, str]] = {}
+        dupes: list[str] = []
+        for name in names:
+            m = pat.match(name)
+            if not m:
+                continue
+            key = (m.group(1), m.group(3))
+            att = int(m.group(2))
+            prev = best.get(key)
+            if prev is None:
+                best[key] = (att, name)
+            elif att > prev[0]:
+                dupes.append(prev[1])
+                best[key] = (att, name)
+            else:
+                dupes.append(name)
+        for name in dupes:
+            os.unlink(os.path.join(root, name))
+            removed += 1
+    return removed
 
 
 def run_parse_flat_write(fetched, out_dir: str, partition: bool = True,

@@ -47,6 +47,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A compare-and-swap commit found CURRENT moved beneath it.
+
+    Callers re-read the table state and retry (Iceberg's optimistic
+    concurrency model)."""
+
+
 class SnapshotTable:
     """One logical table with atomic snapshot commits."""
 
@@ -93,9 +100,40 @@ class SnapshotTable:
     def _commit(self, files: list[str], mode: str, lineage: dict | None,
                 metrics: dict | None,
                 delete_files: list[str] | None = None,
-                delete_keys: list[str] | None = None) -> dict:
+                delete_keys: list[str] | None = None,
+                expected_parent: str | None = None) -> dict:
+        # Serialize commits with an advisory file lock (flock) so a
+        # concurrent producer can't land between read-CURRENT and the
+        # pointer flip; with ``expected_parent`` the commit additionally
+        # compare-and-swaps on the parent snapshot name — the Iceberg
+        # optimistic-commit protocol (ADVICE r04 #4: an enqueue landing
+        # inside an ack's manifest-IO window was silently clobbered).
+        import fcntl
+
+        lock_path = self.path / "snapshots" / ".commit.lock"
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            return self._commit_locked(
+                files, mode, lineage, metrics, delete_files, delete_keys,
+                expected_parent,
+            )
+
+    def _commit_locked(self, files: list[str], mode: str,
+                       lineage: dict | None, metrics: dict | None,
+                       delete_files: list[str] | None,
+                       delete_keys: list[str] | None,
+                       expected_parent: str | None) -> dict:
         current = self.current_snapshot()
+        if expected_parent is not None:
+            # "" means "expect NO current snapshot" (first-ever commit)
+            cur_name = current["name"] if current else ""
+            if cur_name != expected_parent:
+                raise ConcurrentCommitError(
+                    f"CURRENT moved: expected {expected_parent!r}, "
+                    f"found {cur_name!r}"
+                )
         snap_id = (current["id"] + 1) if current else 1
+        added = list(files)
         if mode in ("append", "delta") and current:
             files = current["files"] + files
             # deletes accumulate until an overwrite/compact folds them in
@@ -103,12 +141,24 @@ class SnapshotTable:
                 delete_files or []
             )
             delete_keys = delete_keys or current.get("delete_keys")
+        elif mode == "prune" and current:
+            # files arg = dirs to REMOVE; everything else — including
+            # pending equality deletes — is preserved (an overwrite here
+            # would silently clear the delete list and resurrect rows).
+            drop = set(files)
+            added = []
+            files = [f for f in current["files"] if f not in drop]
+            delete_files = current.get("delete_files") or []
+            delete_keys = current.get("delete_keys")
         manifest = {
             "id": snap_id,
             "parent": current["name"] if current else None,
             "name": f"snapshot-{snap_id:06d}.json",
             "mode": mode,
             "files": files,
+            # the dirs THIS commit introduced — lets callers retract a
+            # just-made append that observed zero rows (ADVICE r04 #3)
+            "added": added,
             "delete_files": delete_files or [],
             "delete_keys": delete_keys or [],
             "lineage": lineage or {},
@@ -155,18 +205,25 @@ class SnapshotTable:
         return rel, self.path / rel
 
     def add_files(self, rel: str, lineage: dict | None = None,
-                  metrics: dict | None = None) -> dict:
+                  metrics: dict | None = None,
+                  expected_parent: str | None = None) -> dict:
         """Commit an already-written data dir without rewriting it."""
-        return self._commit([rel], "append", lineage, metrics)
+        return self._commit([rel], "append", lineage, metrics,
+                            expected_parent=expected_parent)
 
     def replace_files(self, files: list[str], lineage: dict | None = None,
-                      metrics: dict | None = None) -> dict:
+                      metrics: dict | None = None,
+                      expected_parent: str | None = None) -> dict:
         """Point the table at an explicit data-file list (manifest-only
         commit, no Spark job).  Consume-with-ack uses it to drop exactly
         the data files a consumer read, keeping files appended since —
         an ack that truncated the whole table would silently drop rows
-        enqueued between the consuming read and the ack (ADVICE r03 #3)."""
-        return self._commit(list(files), "overwrite", lineage, metrics)
+        enqueued between the consuming read and the ack (ADVICE r03 #3).
+        Pass ``expected_parent`` (the snapshot name the file list was
+        computed from) to fail with :class:`ConcurrentCommitError` if a
+        producer landed in between — re-read and retry."""
+        return self._commit(list(files), "overwrite", lineage, metrics,
+                            expected_parent=expected_parent)
 
     def append(self, df: DataFrame, lineage: dict | None = None,
                metrics: dict | None = None,
@@ -230,6 +287,64 @@ class SnapshotTable:
         return self._commit(files, "delta", lineage, metrics,
                             delete_files=dfiles, delete_keys=delete_keys)
 
+    def prune_files(self, rels: list[str], lineage: dict | None = None,
+                    metrics: dict | None = None) -> dict:
+        """Manifest-only commit dropping specific data dirs (e.g. a
+        delta append that turned out to hold zero rows), preserving the
+        pending equality-delete list — unlike ``replace_files``, which
+        is an overwrite and would clear it."""
+        return self._commit(list(rels), "prune", lineage, metrics)
+
+    def compact_minor(self, keep_largest: int = 1, min_files: int = 8,
+                      lineage: dict | None = None,
+                      coalesce: int | None = None) -> dict | None:
+        """Bin-pack small data dirs into one (Iceberg bin-pack
+        ``rewrite_data_files``): keep the ``keep_largest`` biggest dirs
+        untouched, rewrite the rest into a single dir.
+
+        For append-only tables that are READ every round (url_seen) or
+        accumulate history (metrics, last_scraped), a full ``compact``
+        rewrites O(table) on every cadence tick — at a 10^10-row seen
+        set that is the whole table over and over.  Minor compaction
+        rewrites only the small tail appended since the last fold, so
+        the amortized cost per round is O(rows appended per round) while
+        the file count stays bounded (VERDICT r04 'wrong' #2).  Tables
+        with pending equality deletes fall through to a full compact
+        (the deletes must be folded against all rows).  No-op (returns
+        None) below ``min_files`` dirs.
+        """
+        if self.hive_dirs:
+            # hive-partitioned dirs need a partitioned rewrite; the only
+            # such table (items) is append-only via add_files and reads
+            # at O(#kinds) plan depth — not minor-compacted here
+            return None
+        snap = self.current_snapshot()
+        if not snap or len(snap["files"]) < max(min_files, keep_largest + 2):
+            return None
+        if snap.get("delete_files"):
+            return self.compact(lineage=lineage, coalesce=coalesce)
+
+        def _du(rel: str) -> int:
+            root = self.path / rel
+            return sum(f.stat().st_size for f in root.rglob("*")
+                       if f.is_file())
+
+        sized = sorted(snap["files"], key=_du, reverse=True)
+        keep, fold = sized[:keep_largest], sized[keep_largest:]
+        df = self.spark.read.schema(self.schema).parquet(
+            *[str(self.path / rel) for rel in fold]
+        )
+        rel = self._write_data(df, None, coalesce)
+        try:
+            return self.replace_files(
+                keep + [rel], lineage=lineage,
+                metrics=snap.get("metrics"),
+                expected_parent=snap["name"],
+            )
+        except ConcurrentCommitError:
+            # a commit landed mid-rewrite; skip — next cadence retries
+            return None
+
     def compact(self, lineage: dict | None = None,
                 metrics: dict | None = None,
                 coalesce: int | None = None) -> dict:
@@ -251,18 +366,7 @@ class SnapshotTable:
             return self.spark.createDataFrame([], self.schema)
         paths = [str(self.path / rel) for rel in snap["files"]]
         if self.hive_dirs and len(paths) > 1:
-            # One read per data dir, unioned: a single multi-path read
-            # breaks on hive-partitioned dirs (each dir is its own
-            # partition root — CONFLICTING_DIRECTORY_STRUCTURES), and
-            # unionByName also normalizes partition-column order.  Dir
-            # count is bounded by the compaction cadence.
-            dfs = [
-                self.spark.read.schema(self.schema).parquet(p)
-                for p in paths
-            ]
-            df = dfs[0]
-            for other in dfs[1:]:
-                df = df.unionByName(other)
+            df = self._read_hive_dirs(paths)
         else:
             # Flat dirs: ONE multi-path scan — constant plan depth and
             # one file-listing job regardless of commit count.
@@ -276,6 +380,61 @@ class SnapshotTable:
             ddf = self.spark.read.parquet(*dpaths)
             df = df.join(ddf, snap["delete_keys"], "left_anti")
         return df
+
+    def _read_hive_dirs(self, paths: list[str]) -> DataFrame:
+        """Read many hive-partitioned data dirs at O(#partition-values)
+        plan depth.
+
+        A single multi-path read over partitioned dirs raises
+        CONFLICTING_DIRECTORY_STRUCTURES (each dir is its own partition
+        root, and ``basePath`` cannot span sibling roots — verified in
+        tools/probe_r5.py), and one read PER DIR unioned grows the plan
+        O(#commits): after a 10^4-round crawl the primary output API
+        would analyze a 10^4-way union every read (VERDICT r04 'wrong'
+        #1).  Instead, group the LEAF dirs by partition value — every
+        ``item_kind=game`` leaf across all commits is a flat parquet
+        dir — and run ONE multi-path scan per distinct value, attaching
+        the partition column back as a literal.  Plan depth is bounded
+        by the partition-value cardinality (#item kinds ≈ 6), however
+        many commits accumulate.  The driver-side ``os.listdir`` per
+        data dir is pure file listing (no plan analysis) and is the
+        same listing Spark itself would do.
+        """
+        from urllib.parse import unquote
+
+        import pyspark.sql.functions as F
+
+        groups: dict[str, list[str]] = {}
+        flat_fallback: list[str] = []
+        for p in paths:
+            entries = [e for e in os.listdir(p) if "=" in e
+                       and (Path(p) / e).is_dir()]
+            if not entries:
+                # dir written without partitionBy (or empty) — read as-is
+                flat_fallback.append(p)
+                continue
+            for e in entries:
+                groups.setdefault(e, []).append(str(Path(p) / e))
+        parts: list[DataFrame] = []
+        for entry in sorted(groups):
+            col, raw = entry.split("=", 1)
+            val = unquote(raw)
+            ftype = self.schema[col].dataType
+            file_schema = StructType(
+                [f for f in self.schema.fields if f.name != col]
+            )
+            part = self.spark.read.schema(file_schema).parquet(
+                *groups[entry]
+            )
+            lit = (F.lit(None) if val == "__HIVE_DEFAULT_PARTITION__"
+                   else F.lit(val))
+            parts.append(part.withColumn(col, lit.cast(ftype)))
+        for p in flat_fallback:
+            parts.append(self.spark.read.schema(self.schema).parquet(p))
+        df = parts[0]
+        for other in parts[1:]:
+            df = df.unionByName(other)
+        return df.select(*[f.name for f in self.schema.fields])
 
     def rollback(self, snapshot_id: int) -> None:
         """Point CURRENT back at an older snapshot (Iceberg rollback)."""
