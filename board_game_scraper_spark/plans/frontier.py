@@ -72,12 +72,20 @@ def schedule(
     window_sec: float = 60.0,
     budgets: dict | None = None,
     salt_buckets: int = 8,
+    lean: bool = False,
 ) -> DataFrame:
     """Pick this round's batch: per-host top-k(host) of eligible rows.
 
     Returns the scheduled rows with a ``sched_rank`` column (1-based,
     per host) — the deterministic order a polite single-host fetcher
     would issue them in.
+
+    ``lean=True`` skips the phase-1 salted prune (one window instead of
+    two, one shuffle saved).  The salt phase is a SKEW guard for
+    10^6+-row hot hosts; callers that KNOW the eligible set is small
+    (the crawl driver's tail retry rounds, sized by the previous
+    round's observations) use the lean plan — the result is identical
+    because the prune is lossless.
     """
     spark = frontier.sparkSession
     eligible = frontier.where(F.col("not_before_round") <= F.lit(round_no))
@@ -88,22 +96,24 @@ def schedule(
         "k", F.coalesce(F.col("k"), F.lit(default_k))
     )
 
-    # Phase 1 (skew guard): per-(host, salt) top-k.  Lossless prune — any
-    # row in the global per-host top-k is in the top-k of its salt bucket.
-    salted = with_k.withColumn(
-        "_salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets))
-    )
-    w1 = Window.partitionBy("host", "_salt").orderBy(*schedule_order())
-    pruned = (
-        salted.withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= F.col("k"))
-        .drop("_r1", "_salt")
-    )
+    if not lean:
+        # Phase 1 (skew guard): per-(host, salt) top-k.  Lossless prune —
+        # any row in the global per-host top-k is in the top-k of its
+        # salt bucket.
+        salted = with_k.withColumn(
+            "_salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy("host", "_salt").orderBy(*schedule_order())
+        with_k = (
+            salted.withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= F.col("k"))
+            .drop("_r1", "_salt")
+        )
 
     # Phase 2: exact per-host ranking over ≤ salt_buckets*max_k rows/host.
     w2 = Window.partitionBy("host").orderBy(*schedule_order())
     return (
-        pruned.withColumn("sched_rank", F.row_number().over(w2))
+        with_k.withColumn("sched_rank", F.row_number().over(w2))
         .where(F.col("sched_rank") <= F.col("k"))
         .drop("k")
     )

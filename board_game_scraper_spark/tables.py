@@ -247,17 +247,15 @@ class SnapshotTable:
         return self._commit(files, "append" if current else "overwrite",
                             lineage, metrics)
 
-    def delta_commit(self, appends: DataFrame | None = None,
-                     deletes: DataFrame | None = None,
-                     delete_keys: list[str] | None = None,
-                     lineage: dict | None = None,
-                     metrics: dict | None = None,
-                     coalesce: int | None = None) -> dict:
-        """One atomic commit of appended rows + equality-deleted keys
-        (Iceberg v2 merge-on-read).  ``deletes`` holds exactly the
-        ``delete_keys`` columns; at read time any row matching a delete
-        tuple is dropped.  IO cost is O(|appends| + |deletes|), never
-        O(table) — the point of the design at 10^10 frontier rows."""
+    def prepare_delta(self, appends: DataFrame | None = None,
+                      deletes: DataFrame | None = None,
+                      coalesce: int | None = None) -> dict:
+        """Run a delta's DATA writes now (Spark jobs), commit later via
+        :meth:`commit_prepared_delta`.  Splitting the two lets the crawl
+        round overlap the frontier delta's writes with the other table
+        commits while the manifest flip — the resume marker — still
+        happens strictly last (the files are invisible orphans until
+        then).  Two prepared dicts merge by concatenating their lists."""
         files: list[str] = []
         dfiles: list[str] = []
 
@@ -284,8 +282,32 @@ class SnapshotTable:
             _write_deletes()
         elif appends is not None:
             files.append(self._write_data(appends, None, coalesce))
-        return self._commit(files, "delta", lineage, metrics,
-                            delete_files=dfiles, delete_keys=delete_keys)
+        return {"files": files, "dfiles": dfiles}
+
+    def commit_prepared_delta(self, prepared: dict,
+                              delete_keys: list[str] | None = None,
+                              lineage: dict | None = None,
+                              metrics: dict | None = None) -> dict:
+        """Manifest-only commit of one or more :meth:`prepare_delta`
+        results (merge several by summing their lists)."""
+        return self._commit(prepared["files"], "delta", lineage, metrics,
+                            delete_files=prepared["dfiles"],
+                            delete_keys=delete_keys)
+
+    def delta_commit(self, appends: DataFrame | None = None,
+                     deletes: DataFrame | None = None,
+                     delete_keys: list[str] | None = None,
+                     lineage: dict | None = None,
+                     metrics: dict | None = None,
+                     coalesce: int | None = None) -> dict:
+        """One atomic commit of appended rows + equality-deleted keys
+        (Iceberg v2 merge-on-read).  ``deletes`` holds exactly the
+        ``delete_keys`` columns; at read time any row matching a delete
+        tuple is dropped.  IO cost is O(|appends| + |deletes|), never
+        O(table) — the point of the design at 10^10 frontier rows."""
+        prepared = self.prepare_delta(appends, deletes, coalesce)
+        return self.commit_prepared_delta(prepared, delete_keys=delete_keys,
+                                          lineage=lineage, metrics=metrics)
 
     def prune_files(self, rels: list[str], lineage: dict | None = None,
                     metrics: dict | None = None) -> dict:

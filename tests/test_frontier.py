@@ -101,3 +101,20 @@ def test_retry_rows_backoff(spark):
     assert got["u1"]["priority"] == 4 and got["u1"]["attempt"] == 1
     assert got["u1"]["not_before_round"] == 5   # 3 + 2^1
     assert got["u4"]["not_before_round"] == 7   # 3 + min(2^2,4)
+
+
+def test_schedule_lean_matches_full(spark):
+    # lean=True skips the phase-1 salt prune; the prune is lossless so
+    # ranks must be bit-identical (the crawl driver switches to the lean
+    # plan whenever the previous round observed a small frontier).
+    rows = [_row(f"https://boardgamegeek.com/g/{i:04d}",
+                 "boardgamegeek.com", i % 7, h=i * 2654435761 % (2**40))
+            for i in range(300)]
+    rows += [_row(f"https://x.spielen.example/{i}",
+                  "gesellschaftsspiele.spielen.de", i % 5) for i in range(40)]
+    df = _frontier_df(spark, rows)
+    full = {(r["url_canon"], r["sched_rank"])
+            for r in schedule(df, 1, lean=False).collect()}
+    lean = {(r["url_canon"], r["sched_rank"])
+            for r in schedule(df, 1, lean=True).collect()}
+    assert full == lean and len(full) == 48 + 12
