@@ -206,6 +206,13 @@ class CrawlEngine:
         # skew-safe plan; the lean plan is result-identical because the
         # salt prune is lossless.
         self._pending_hint: int | None = None
+        # Exact in-memory frontier for provable retry-only tails — set
+        # at the end of a round whose commit left ONLY that round's
+        # retry rows pending; the next round then skips the frontier
+        # table scan + equality-delete anti-joins.  Purely an
+        # optimization: identical rows come back from frontier.read()
+        # on resume, and any out-of-band insert invalidates it.
+        self._next_frontier: DataFrame | None = None
 
     # ------------------------------------------------------------------ seed
 
@@ -364,6 +371,8 @@ class CrawlEngine:
             )
         if self._pending_hint is not None:
             self._pending_hint += n
+        if n:
+            self._next_frontier = None
         return n
 
     # ------------------------------------------------------- S10 seed requests
@@ -504,6 +513,8 @@ class CrawlEngine:
                 continue
         if self._pending_hint is not None:
             self._pending_hint += n
+        if n:
+            self._next_frontier = None
         return n
 
     # ------------------------------------------------------------- F7 ids_seen
@@ -595,7 +606,8 @@ class CrawlEngine:
                 _t0[0] = now
 
         self._consume_seed_requests(round_no)
-        frontier = self.frontier.read()
+        carried, self._next_frontier = self._next_frontier, None
+        frontier = carried if carried is not None else self.frontier.read()
         if self.obey_robots:
             from .robots import filter_allowed
 
@@ -662,7 +674,20 @@ class CrawlEngine:
             kind = lambda k: F.sum(
                 (F.col("item_kind") == k).cast("long")
             ).alias(k)
-            writer = run_parse_flat(fetched_full).observe(
+            parsed = run_parse_flat(fetched_full)
+            if hint is not None and hint < 3000:
+                # Tail-round write shrink: the corpus-scan join leaves
+                # O(scan partitions) write tasks even when the batch is
+                # a few hundred retry rows — measured 1.1 s of pure
+                # task/commit overhead per tail round at local[32]
+                # (tools/probe_retry).  A post-parse exchange of the
+                # tiny flat output costs ~nothing and cuts the write to
+                # write_coalesce tasks.  Gated on a PROVABLY small
+                # frontier so a real round's parse output (millions of
+                # flat rows) never crosses this exchange; parse
+                # parallelism itself is untouched either way.
+                parsed = parsed.repartition(self.write_coalesce or 4)
+            writer = parsed.observe(
                 obs_items, kind("page"), kind("game"), kind("user"),
                 kind("rating"),
             ).write.mode("overwrite")
@@ -872,6 +897,16 @@ class CrawlEngine:
                     coalesce=self.write_coalesce,
                 )
             )
+            # The retries append depends only on the committed scratch —
+            # it never waits for the seen write (obs_retry rides this
+            # job).  Fresh discoveries get their own prep below, gated
+            # on a non-zero count, so the common tail round writes no
+            # empty fresh file and runs no discovery subtree twice.
+            fut_ret = pool.submit(
+                lambda: self.frontier.prepare_delta(
+                    appends=retries, coalesce=self.write_coalesce,
+                )
+            )
             futures = [(name, pool.submit(fn)) for name, fn in writes]
             for name, fut in futures:
                 fut.result()  # propagate the first failure
@@ -880,11 +915,14 @@ class CrawlEngine:
             # (or, with n_ok == 0, nothing) has materialized the branch.
             n_fresh = int(obs_fresh.get["n"] or 0) if n_ok else 0
             n_disc = int(obs_disc.get["n"] or 0) if n_ok else 0
-            fut_app = pool.submit(
-                lambda: self.frontier.prepare_delta(
-                    appends=retries.unionByName(fresh),
-                    coalesce=self.write_coalesce,
+            fut_fresh = (
+                pool.submit(
+                    lambda: self.frontier.prepare_delta(
+                        appends=fresh, coalesce=self.write_coalesce,
+                    )
                 )
+                if n_fresh
+                else None
             )
             metrics_rows = host_metrics.select(
                 "round", "host", "scheduled", "fetched", "failed",
@@ -899,7 +937,13 @@ class CrawlEngine:
                 )
             )
             prep_del = fut_del.result()
-            prep_app = fut_app.result()
+            prep_app = fut_ret.result()
+            if fut_fresh is not None:
+                prep_f = fut_fresh.result()
+                prep_app = {
+                    "files": prep_app["files"] + prep_f["files"],
+                    "dfiles": prep_app["dfiles"] + prep_f["dfiles"],
+                }
             fut_m.result()
             _mark("metrics_write")
         self.frontier.commit_prepared_delta(
@@ -957,8 +1001,21 @@ class CrawlEngine:
         leftover = n_frontier - n_scheduled
         if leftover == 0 and n_fresh == 0 and n_retries > 0:
             next_eligible = int(retry_stats["min_nb"])
+            # The committed frontier is now PROVABLY exactly the retry
+            # rows this round appended (nothing was left unscheduled,
+            # nothing fresh was discovered) — hand the next round the
+            # in-memory expression so it skips the table scan + two
+            # equality-delete anti-joins of frontier.read().  Lazy and
+            # rooted at the committed scratch parquet, so a crash or
+            # resume simply falls back to the identical table read;
+            # out-of-band inserts (requeue / seed-request folds)
+            # invalidate it below.
+            self._next_frontier = retry_rows(
+                fetch_rows, round_no, self.max_attempts
+            )
         else:
             next_eligible = round_no + 1
+            self._next_frontier = None
 
         for df in (frontier, scheduled, disc_raw, disc, fresh):
             df.unpersist()

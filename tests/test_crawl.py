@@ -184,12 +184,16 @@ def test_frontier_delta_commits_are_incremental(spark, tmp_path):
     assert snap0["mode"] == "overwrite" and snap0["delete_files"] == []
 
     for r in (1, 2):
-        n_files, n_dels = len(snap0["files"]), len(snap0["delete_files"])
+        old_files = list(snap0["files"])
+        n_dels = len(snap0["delete_files"])
         m = eng.run_round(r)
         snap0 = eng.frontier.current_snapshot()
         assert snap0["mode"] == "delta"
-        # exactly one data dir appended + one delete file per round
-        assert len(snap0["files"]) == n_files + 1
+        # O(delta) commits: one retries dir + (when discoveries exist)
+        # one fresh dir appended, plus one delete file — never a
+        # rewrite of previously-committed dirs
+        assert len(old_files) + 1 <= len(snap0["files"]) <= len(old_files) + 2
+        assert set(old_files) <= set(snap0["files"])
         assert len(snap0["delete_files"]) == n_dels + 1
         assert snap0["delete_keys"] == ["url_hash", "attempt",
                                         "discovery_round"]

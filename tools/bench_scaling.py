@@ -64,18 +64,22 @@ os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local"
 os.environ.setdefault("SPARK_GRAFT_STAGE_TIMING", "1")  # stderr marks
 if mode == "cluster":
     # True multi-executor proxy (north_rule: "N and 4N executors"):
-    # separate executor JVMs, 4 cores + 12g each; only the executor
-    # COUNT changes between levels.  The package ships via addPyFile
+    # separate executor JVMs of 8 cores + 14g each; only the executor
+    # COUNT changes between levels — 1 executor at N, 4 at 4N, so the
+    # 4N level runs 32 task slots on 32 hyper-threads with NO
+    # oversubscription (the r04 protocol ran 8 four-core executor JVMs
+    # at 4N, whose per-JVM overhead + 8-way heartbeat churn understated
+    # scaling — VERDICT r04 next #5).  The package ships via addPyFile
     # (= spark-submit --py-files); executors keep the JDK-default G1 —
     # per-executor heaps are the real-cluster shape.
-    master = "local-cluster[%d,4,9216]" % (cpus // 4)
+    master = "local-cluster[%d,8,20480]" % (cpus // 8)
     # the master-string memory is the WORKER budget; executor heap is
     # spark.executor.memory (1g default would OOM the parse stage).
     # Long heartbeats/timeouts: all executors + the driver share one
     # saturated box, so default 10s heartbeats get starved and the
     # master churn-relaunches executors mid-run.
     extra = {{"spark.driver.memory": "8g",
-             "spark.executor.memory": "8g",
+             "spark.executor.memory": "14g",
              "spark.executor.heartbeatInterval": "60s",
              "spark.network.timeout": "600s",
              "spark.worker.timeout": "300"}}
@@ -279,25 +283,26 @@ def main() -> None:
     th_md = ""
     if th is not None:
         th_md = f"""
-## Secondary: multi-executor-JVM check (local-cluster, 2 vs 8 executors)
+## Secondary: multi-executor-JVM check (local-cluster, 1 vs 4 executors)
 
-Spark standalone local-cluster — 2 executor JVMs vs 8 executor JVMs
-(4 cores + 8g each, package shipped via addPyFile = the north rule's
-`spark-submit --py-files`); only the executor COUNT changes.  Best of
+Spark standalone local-cluster — 1 executor JVM vs 4 executor JVMs
+(8 cores + 14g each, package shipped via addPyFile = the north rule's
+`spark-submit --py-files`); only the executor COUNT changes, and the
+4N level's 32 task slots match the box's 32 hyper-threads (no
+oversubscription — the earlier 8x4-core protocol understated scaling
+through per-JVM overhead and 8-way heartbeat churn).  Best of
 {th['n']}: N {th['r8']['seconds']}s → 4N {th['r32']['seconds']}s =
 **{th['ratio']:.2f}x** (raw {th['eff']:.2f}, normalized
 {th['norm_eff']:.2f} vs its capacity samples {th['caps']}).
 All samples: N {th['all8']}, 4N {th['all32']}.
 
 This mode proves the engine runs unchanged under multi-executor
-deployment (remote shuffle, broadcast to 8 JVMs, executor-shipped
-package, per-executor Python daemons), but UNDERSTATES scaling on this
-box: all 8 executor JVMs + 32 Python workers + master/worker/driver
-threads share the same 32 hyper-threads, so the 4N level pays
-oversubscription + loopback-TCP serialization that a real 4N-executor
-cluster (4N x dedicated cores, NICs, memory bandwidth) does not.  The
-single-JVM local[N] numbers above avoid that distortion and are the
-binding sandbox evidence.
+deployment (remote shuffle, broadcast to 4 JVMs, executor-shipped
+package, per-executor Python daemons).  It still shares one box's
+memory bandwidth and pays loopback-TCP shuffle serialization that a
+real 4N-executor cluster (4N x dedicated cores, NICs, memory
+bandwidth) does not, so the single-JVM local[N] numbers above remain
+the binding sandbox evidence.
 """
     md = f"""# BENCH/BASELINE — frontier replay scaling evidence
 
