@@ -206,6 +206,16 @@ class CrawlEngine:
         # skew-safe plan; the lean plan is result-identical because the
         # salt prune is lossless.
         self._pending_hint: int | None = None
+        # Exact frontier row count, maintained by manifest arithmetic
+        # (seed count, then +appended −deleted per commit) and persisted
+        # as a ``frontier_rows`` metric in every frontier manifest the
+        # engine writes.  The count formerly came from an Observation on
+        # the cached frontier frame — which double-fires when a
+        # broadcast build and the main job materialize the same cached
+        # partitions on different executors (see the counts note in
+        # run_round).  None = not yet known (resume); frontier_rows()
+        # recovers it from the newest manifest carrying the metric.
+        self._frontier_rows: int | None = None
         # Exact in-memory frontier for provable retry-only tails — set
         # at the end of a round whose commit left ONLY that round's
         # retry rows pending; the next round then skips the frontier
@@ -215,6 +225,33 @@ class CrawlEngine:
         self._next_frontier: DataFrame | None = None
 
     # ------------------------------------------------------------------ seed
+
+    def frontier_rows(self) -> int:
+        """Exact current frontier row count — manifest arithmetic, no
+        Spark job.  Resume walks to the newest frontier snapshot whose
+        metrics carry ``frontier_rows`` (commits that don't change rows
+        — compact, prune — legitimately lack it); a table written by
+        older code falls back to ONE exact count()."""
+        if self._frontier_rows is not None:
+            return self._frontier_rows
+        import json as _json
+
+        snap = self.frontier.current_snapshot()
+        while snap is not None:
+            m = snap.get("metrics") or {}
+            if "frontier_rows" in m:
+                self._frontier_rows = int(m["frontier_rows"])
+                return self._frontier_rows
+            parent = snap.get("parent")
+            snap = (
+                _json.loads(
+                    (self.frontier.path / "snapshots" / parent).read_text()
+                )
+                if parent
+                else None
+            )
+        self._frontier_rows = int(self.frontier.read().count())
+        return self._frontier_rows
 
     def seed(self, seeds: DataFrame) -> int:
         """Round 0: canonicalize seeds, dedup, install frontier + seen.
@@ -253,17 +290,24 @@ class CrawlEngine:
         )
         obs = Observation()
         rows = rows.observe(obs, F.count(F.lit(1)).alias("n")).cache()
-        self.frontier.overwrite(rows, lineage={"round": 0, "stage": "seed"},
-                                coalesce=self.write_coalesce)
-        n = int(obs.get["n"] or 0)
+        # Seen first: its write materializes the cached rows exactly
+        # once and fills the count observation, so the frontier commit
+        # can carry the exact post-commit row count in its manifest
+        # (frontier_rows()).  A crash between the two re-runs seed();
+        # both writes are overwrites, so the retry is idempotent.
         seen_rows = rows.select(
             "url_hash", "url_canon", F.lit(0).alias("first_round")
         )
         self.seen.overwrite(seen_rows, lineage={"round": 0, "stage": "seed"},
                             coalesce=self.write_coalesce)
+        n = int(obs.get["n"] or 0)
+        self.frontier.overwrite(rows, lineage={"round": 0, "stage": "seed"},
+                                metrics={"frontier_rows": n},
+                                coalesce=self.write_coalesce)
         if self.bloom is not None:
             self.bloom.add(seen_rows)
         self._pending_hint = n
+        self._frontier_rows = n
         return n
 
     # --------------------------------------------------------- opt-in F4/F5/F11
@@ -352,15 +396,20 @@ class CrawlEngine:
             obs, F.count(F.lit(1)).alias("n"))
         # Delta append: only the requeued rows hit disk, never the full
         # frontier (merge-on-read — tables.py).  ONE action: the count
-        # rides the commit's write job as an Observation.  No "round"
-        # lineage key — requeue is an out-of-band insert, and the resume
-        # marker must only advance on end-of-round commits.
-        man = self.frontier.delta_commit(
-            appends=fresh,
-            lineage={"stage": "requeue", "at_round": round_no},
-            coalesce=self.write_coalesce,
+        # rides the prepared write job as an Observation, so the
+        # manifest commit that follows can carry the exact post-commit
+        # row count (frontier_rows()).  No "round" lineage key —
+        # requeue is an out-of-band insert, and the resume marker must
+        # only advance on end-of-round commits.
+        prepared = self.frontier.prepare_delta(
+            appends=fresh, coalesce=self.write_coalesce,
         )
         n = int(obs.get["n"] or 0)
+        man = self.frontier.commit_prepared_delta(
+            prepared,
+            lineage={"stage": "requeue", "at_round": round_no},
+            metrics={"frontier_rows": self.frontier_rows() + n},
+        )
         if n == 0 and man.get("added"):
             # the append observed zero rows — retract the empty data dir
             # so repeated no-op requeues don't grow the manifest's file
@@ -371,6 +420,7 @@ class CrawlEngine:
             )
         if self._pending_hint is not None:
             self._pending_hint += n
+        self._frontier_rows = self.frontier_rows() + n
         if n:
             self._next_frontier = None
         return n
@@ -469,17 +519,22 @@ class CrawlEngine:
         fresh = cand.join(self.frontier.read().select("url_hash"),
                           "url_hash", "left_anti").observe(
             obs, F.count(F.lit(1)).alias("n"))
-        # ONE action (count observed on the commit's write job).  No
-        # "round" lineage key: last_round() must only advance on the
-        # end-of-round frontier commit — tagging this fold with round_no
-        # made a crash-before-round-commit resume skip straight past
-        # round_no (ADVICE r03 #4).
-        man = self.frontier.delta_commit(
-            appends=fresh,
-            lineage={"stage": "seed_requests", "at_round": round_no},
-            coalesce=self.write_coalesce,
+        # ONE action (count observed on the prepared write job; the
+        # manifest commit then carries the exact post-commit row count
+        # for frontier_rows()).  No "round" lineage key: last_round()
+        # must only advance on the end-of-round frontier commit —
+        # tagging this fold with round_no made a
+        # crash-before-round-commit resume skip straight past round_no
+        # (ADVICE r03 #4).
+        prepared = self.frontier.prepare_delta(
+            appends=fresh, coalesce=self.write_coalesce,
         )
         n = int(obs.get["n"] or 0)
+        man = self.frontier.commit_prepared_delta(
+            prepared,
+            lineage={"stage": "seed_requests", "at_round": round_no},
+            metrics={"frontier_rows": self.frontier_rows() + n},
+        )
         if n == 0 and man.get("added"):
             self.frontier.prune_files(
                 man["added"],
@@ -513,6 +568,7 @@ class CrawlEngine:
                 continue
         if self._pending_hint is not None:
             self._pending_hint += n
+        self._frontier_rows = self.frontier_rows() + n
         if n:
             self._next_frontier = None
         return n
@@ -613,18 +669,30 @@ class CrawlEngine:
 
             self._refresh_robots(frontier, round_no)
             frontier = filter_allowed(frontier, self.robots.read())
+        # COUNTS THAT DRIVE THE LOOP come only from (a) aggregates
+        # riding singly-materialized WRITE jobs and (b) manifest
+        # arithmetic — never from observations on a cached frame with
+        # concurrent consumers.  A broadcast build and the main job can
+        # compute the same cached partitions on DIFFERENT executors
+        # before either stores them (local mode's in-JVM block locks
+        # dedup this; a multi-executor cluster does not), firing the
+        # CollectMetrics accumulator twice: measured on local-cluster
+        # [4,8] — a count observed on `scheduled` reported 4895 of 2463
+        # rows and drove pending negative.  min()-style observations
+        # are double-fire-idempotent and stay.
         obs_front = Observation()
         frontier = frontier.observe(
             obs_front,
-            F.count(F.lit(1)).alias("n"),
             F.min("not_before_round").alias("min_nb"),
         ).cache()
 
-        # One Spark job materializes schedule→fetch→parse→scratch; every
-        # count the driver needs rides along as an Observation on that
-        # job (VERDICT r01 "what's wrong" #3: driver-side count()s were
-        # a large share of the per-round serial floor).
-        obs_sched = Observation()
+        # One Spark job materializes schedule→fetch→parse→scratch; the
+        # driver-side counts ride that job (VERDICT r01 "what's wrong"
+        # #3: separate count()s were a large share of the per-round
+        # serial floor).  n_scheduled = the 'fetch' rows of the scratch
+        # output (parse emits exactly one per scheduled URL, any
+        # status) — see the counts note above for why the scheduled
+        # frame itself is not observed.
         hint = self._pending_hint
         scheduled = (
             schedule(
@@ -632,7 +700,6 @@ class CrawlEngine:
                 self._current_budgets(), self.salt_buckets,
                 lean=(hint is not None and hint < 100_000),
             )
-            .observe(obs_sched, F.count(F.lit(1)).alias("n"))
             .cache()
         )
 
@@ -689,7 +756,7 @@ class CrawlEngine:
                 parsed = parsed.repartition(self.write_coalesce or 4)
             writer = parsed.observe(
                 obs_items, kind("page"), kind("game"), kind("user"),
-                kind("rating"),
+                kind("rating"), kind("fetch"),
             ).write.mode("overwrite")
             if self.partition_items:
                 writer = writer.partitionBy("item_kind")
@@ -697,7 +764,8 @@ class CrawlEngine:
             parse_counts = obs_items.get
 
         _mark("parse_scratch_write")
-        n_scheduled = int(obs_sched.get["n"] or 0)
+        n_scheduled = int(parse_counts.get("fetch") or 0)
+        n_frontier = self.frontier_rows()
         if self.record_schedule and n_scheduled:
             log: dict[str, list[str]] = {}
             for row in scheduled.select(
@@ -706,21 +774,23 @@ class CrawlEngine:
                 log.setdefault(row["host"], []).append(row["url_canon"])
             self.schedule_log[round_no] = log
         if n_scheduled == 0:
-            front_stats = obs_front.get
-            n_frontier = int(front_stats["n"] or 0)
+            min_nb = obs_front.get["min_nb"]
             frontier.unpersist()
             scheduled.unpersist()
             _shutil.rmtree(scratch, ignore_errors=True)
-            if n_frontier > 0:
-                # NOT done: the frontier still holds rows, all of them
-                # backoff retries gated on a future not_before_round
-                # (anything eligible would have been scheduled).  A
-                # "done" here would permanently strand those retries —
-                # including across resumes, since nothing commits in
-                # this path (ADVICE r03 #2).  Hand crawl() the earliest
-                # eligible round so it fast-forwards instead.
-                next_eligible = max(int(front_stats["min_nb"] or 0),
-                                    round_no + 1)
+            if n_frontier > 0 and min_nb is not None:
+                # NOT done: the frontier still holds SCHEDULABLE rows,
+                # all of them backoff retries gated on a future
+                # not_before_round (anything eligible would have been
+                # scheduled).  A "done" here would permanently strand
+                # those retries — including across resumes, since
+                # nothing commits in this path (ADVICE r03 #2).  Hand
+                # crawl() the earliest eligible round so it
+                # fast-forwards instead.  min_nb is None when the
+                # post-robots frame was EMPTY — n_frontier counts table
+                # rows, so a table holding only robots-blocked rows
+                # (never schedulable) must still terminate as done.
+                next_eligible = max(int(min_nb), round_no + 1)
                 self._pending_hint = n_frontier
                 return {"round": round_no, "scheduled": 0, "fetched": 0,
                         "parsed_items": 0, "discovered": 0,
@@ -757,6 +827,14 @@ class CrawlEngine:
         pages_rows = flat.where(F.col("item_kind") == "page")
 
         # --- discoveries → dedup vs seen → fresh frontier rows -------------
+        # obs_disc is REPORTING-ONLY (the metrics table's
+        # discovered_urls column): filter_unseen's definite-new and
+        # maybe-seen branches each traverse the cached disc frame, so on
+        # a multi-executor cluster the count can over-fire when both
+        # branches compute the same partition on different executors
+        # before either caches it (measured +9% on local-cluster[4,8]).
+        # Nothing that DRIVES the loop reads it — pending/scheduling use
+        # write-job observations and manifest arithmetic only.
         obs_disc = Observation()
         obs_fresh = Observation()
         disc = (
@@ -946,6 +1024,13 @@ class CrawlEngine:
                 }
             fut_m.result()
             _mark("metrics_write")
+        # Frontier balance, all from write-job observations + manifest
+        # arithmetic (no extra jobs, robust to multi-executor cache
+        # races — see the counts note above): the post-commit row count
+        # rides the commit manifest so frontier_rows() never runs a job.
+        retry_stats = obs_retry.get
+        n_retries = int(retry_stats["n"] or 0)
+        pending = n_frontier - n_scheduled + n_retries + n_fresh
         self.frontier.commit_prepared_delta(
             {"files": prep_del["files"] + prep_app["files"],
              "dfiles": prep_del["dfiles"] + prep_app["dfiles"]},
@@ -957,8 +1042,10 @@ class CrawlEngine:
                 "discovered": n_disc,
                 "fresh": n_fresh,
                 "items": n_items,
+                "frontier_rows": pending,
             },
         )
+        self._frontier_rows = pending
         _mark("frontier_delta")
         if self.compact_every and round_no % self.compact_every == 0:
             self.frontier.compact(
@@ -987,12 +1074,6 @@ class CrawlEngine:
                 self.last_scraped.compact_minor(
                     lineage=side_lin, coalesce=self.write_coalesce)
 
-        # Frontier-balance bookkeeping (all from observations — no extra
-        # jobs): lets crawl() stop without paying for an empty round.
-        retry_stats = obs_retry.get
-        n_retries = int(retry_stats["n"] or 0)
-        n_frontier = int(obs_front.get["n"] or 0)
-        pending = n_frontier - n_scheduled + n_retries + n_fresh
         # Fast-forward hint: when this round consumed the whole frontier
         # (no unscheduled leftover, no fresh discoveries) and only
         # backoff retries remain, every round before their earliest

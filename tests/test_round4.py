@@ -109,7 +109,8 @@ def test_seed_request_enqueued_mid_consume_survives_ack(spark, tmp_path):
     assert eng.enqueue_requests(urls_a) == 1
 
     fired = {"done": False}
-    orig = eng.frontier.delta_commit
+    # the fold commits via commit_prepared_delta (prepare/commit split)
+    orig = eng.frontier.commit_prepared_delta
 
     def racy(*a, **k):
         out = orig(*a, **k)
@@ -118,11 +119,11 @@ def test_seed_request_enqueued_mid_consume_survives_ack(spark, tmp_path):
             eng.enqueue_requests(urls_b)  # lands between fold and ack
         return out
 
-    eng.frontier.delta_commit = racy
+    eng.frontier.commit_prepared_delta = racy
     try:
         n = eng._consume_seed_requests(eng.last_round() + 1)
     finally:
-        eng.frontier.delta_commit = orig
+        eng.frontier.commit_prepared_delta = orig
     assert n == 1  # batch A folded
     snap = eng.seed_requests.current_snapshot()
     assert snap["metrics"]["pending"] == 1  # B survived the ack
