@@ -80,6 +80,11 @@ if mode == "cluster":
     # master churn-relaunches executors mid-run.
     extra = {{"spark.driver.memory": "8g",
              "spark.executor.memory": "14g",
+             # same GC choice as the local-mode driver (session.py): the
+             # JDK-default G1 anti-scales on a large heap with 8
+             # allocating tasks per JVM — ParallelGC measured 3-4x
+             # faster on the fused parse stage
+             "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
              "spark.executor.heartbeatInterval": "60s",
              "spark.network.timeout": "600s",
              "spark.worker.timeout": "300"}}
@@ -298,11 +303,23 @@ All samples: N {th['all8']}, 4N {th['all32']}.
 
 This mode proves the engine runs unchanged under multi-executor
 deployment (remote shuffle, broadcast to 4 JVMs, executor-shipped
-package, per-executor Python daemons).  It still shares one box's
-memory bandwidth and pays loopback-TCP shuffle serialization that a
-real 4N-executor cluster (4N x dedicated cores, NICs, memory
-bandwidth) does not, so the single-JVM local[N] numbers above remain
-the binding sandbox evidence.
+package, per-executor Python daemons), and
+tools/check_cluster_counts.py pins that every driving metric is
+IDENTICAL to single-JVM execution.  Its throughput, however, is
+box-sharing-limited, and the gap is MEASURED, not guessed (per-stage
+marks, scale-2 corpus, same session): (a) per-executor heap pressure
+— the fused parse+write stage ran 185 s on 4x14g executors, 112 s on
+4x24g, and 55 s on one 32-core 48g executor (the threads-mode time)
+— the JVM writer's column buffers + parse batches want one big heap,
+which a real cluster HAS per node because nothing else shares the
+box; (b) the discovery/seen branch pays cross-JVM shuffle + a
+python-cogroup round trip at 32 s vs 4-11 s in-process, loopback TCP
++ serialization a real cluster pays ONCE over real NICs while getting
+4 nodes' memory bandwidth in exchange; (c) a small corpus
+(scale 0.2) scales 1.51x from 1->4 executors on the same deployment
+path, confirming the mechanism is resource contention, not the
+engine.  The single-JVM local[N] numbers above remain the binding
+sandbox evidence.
 """
     md = f"""# BENCH/BASELINE — frontier replay scaling evidence
 
@@ -312,8 +329,8 @@ scheduled+fetched+parsed/sec) with scaling efficiency >= 0.8 from N to
 cluster.  No real cluster exists in this sandbox (one 32-vCPU VM), so
 two proxies are measured: **primary local[8] vs local[32]** (same total
 parallelism ratio, no oversubscription distortion) and a
-**local-cluster 2-vs-8-executor-JVM check** (true multi-executor
-deployment shape).  Same deterministic corpus (seed 42, 100 rating
+**local-cluster 1-vs-4-executor-JVM check** (true multi-executor
+deployment shape, 8 cores per executor).  Same deterministic corpus (seed 42, 100 rating
 comments per thing page = the reference's page_size, bgg.py:124),
 pre-generated parquet shared by both levels.  {cl['n']} interleaved
 repetitions per level, accumulated over {cl['span_h']} h of wall
@@ -327,6 +344,34 @@ the theoretical 4x).
 
 Throughput window = crawl rounds only (schedule+fetch+parse+commit);
 one-time seeding is reported separately, like corpus generation.
+
+## Which number binds (methodology, agreed r04→r05)
+
+Three efficiency readings are reported; they answer different
+questions and are NOT interchangeable:
+
+1. **Pooled min-of-N** (the binding number): min crawl seconds per
+   level over ALL accumulated reps, ratio of the two minima,
+   normalized by the max valid capacity sample.  This estimates the
+   CODE's true floor at each level — each level's best observed
+   window — and is the number the ≥0.8 north-rule target is judged
+   against.  It can pair minima from different weather windows, which
+   is exactly why it is conservative: a slow 32-core window cannot
+   excuse a slow ratio, only a genuinely faster 32-core floor fixes
+   it.
+2. **Best same-window pair**: the single rep with the highest
+   (ratio / its own capacity sample).  Cleanest apples-to-apples
+   physics (both levels + the capacity probe inside one weather
+   window), but max-of-N over noisy reps is tail selection — evidence
+   the machine CAN, not that the code DOES.  Reported for context,
+   never binding.
+3. **Median pair**: the typical same-window experience; diagnostic
+   only.
+
+A rep = capacity sample + local[8] run + local[32] run back-to-back.
+Samples accumulate across invocations into the per-scale JSONL
+(delete it whenever the measured code changes materially — mixing
+code states pollutes the minima).
 
 ## Primary: local[8] vs local[32]
 
@@ -356,38 +401,39 @@ and are discarded as invalid).
 ## Decomposition and extrapolation to the 10^10-URL design point
 
 Component scaling, measured per-stage on the same corpus (STAGE marks
-in every sample's stderr; numbers = the cleanest observed window):
-the fused schedule→fetch→Arrow-parse→parquet stage runs
-85.8s → 28.3s = **3.03x ≈ 0.90 of the measured machine ceiling**; the
-discovery/seen branch 6.7s → 3.8s; items+metrics commits ~1.3s and
-the frontier delta 0.7-0.8s at both levels; the tail retry round
-(1,481 backoff URLs, a latency-bound superstep) ~3.5-4.3s at BOTH
-levels — the one flat floor left, and the term that amortizes to zero
-at the design point where every politeness round is bulk.  Three
-structural fixes this round produced those numbers: (a) snapshot
-writes now ``repartition(n)`` instead of ``coalesce(n)`` — coalesce
-merged partitions WITHOUT an exchange, silently collapsing the whole
-upstream stage (bloom cogroup, anti-joins, pandas UDFs) to 4 tasks at
-BOTH core counts, a ~15 s flat floor per round (frontier_delta
-5.4s → 0.75s); (b) the bloom prefilter checks pending delta rows with
-a JVM semi-join and runs the pandas bitmap cogroup only against bitmap
-rows (none exist before the first compaction — the hot path had paid a
-Python stage for what Catalyst does natively); (c) the replay child
-drives ``eng.crawl()`` so provably-empty rounds are fast-forwarded,
-not paid.  A worker-side pyarrow write path
-(``CrawlEngine(native_write=True)``: each Python worker writes its own
-parquet files, the JVM carries only stats rows) was built and measured
-SLOWER than the JVM writer here (min-of-N round 100.3→33.6s = 2.99x
-JVM vs 111.7→45.8s = 2.44x native-zstd): the JVM overlaps its write
-with the Python parse pipe, while the native path serializes
-parse+compress in one process — kept as an option for deployments
-where a shared writer heap is the proven bottleneck.  GC is not the
-limiter (ParallelGC full-pause total < 4s/round at 48g and 96g,
--Xlog:gc measured); a 2x corpus (scale 4) was tried and rejected — the
-32-core fused stage loses more to write+steal than the floor
-amortization gains.  At the 10^10 design point each politeness round
-schedules 10^6-10^7 URLs per host shard, so the parallel fraction
-approaches 1 and the efficiency measured here is a lower bound.
+in every sample's stderr; numbers = the cleanest observed windows
+across r04-r05): the fused schedule→fetch→Arrow-parse→parquet stage
+runs 85.8s → 28.3s = **3.03x ≈ 0.90 of the measured machine
+ceiling**; the discovery/seen branch 6.7s → 3.8s; items+metrics
+commits ~1.3s.  Round-5 structural work then attacked the flat
+(non-scaling) terms: (a) the frontier delta's data writes now OVERLAP
+the other table commits (prepare/commit split; only the manifest flip
+— the resume marker — lands last): the frontier_delta mark reads
+0.00-0.04s at both levels, from 0.7-0.8s; (b) the tail retry rounds —
+the measured flat floor, 1,481 backoff URLs per latency-bound
+superstep — run a lean plan (salt-guard window skipped under a proven
+small frontier, post-parse repartition cuts 64 near-empty hive
+writers to 4, the exact in-memory retry expression replaces the
+frontier scan + two delete anti-joins): measured 14.8s/8.2s →
+5.4s/4.3s at local[32] in the SAME weather window, identical outputs,
+and ~2.7s/2.1s fused at local[8] in clean windows; (c) the fresh-
+discoveries delta file is count-gated, so tail rounds skip the
+discovery subtree entirely.  Weather honesty: this round's 18-rep
+pool never saw a clean 32-core window (capacity samples 2.65-3.36 all
+session, 32-core runs spanning 43-112s for identical work), so the
+pooled r32 floor (43.12s) is weather-capped — the r04 code observed
+38.45s in one clean window, and this round's code removes ~4s of flat
+cost from that path; the pooled r8 floor (94.92s) matches r04's
+(94.0s) as expected for the 8-core level where the flat terms are a
+smaller share.  The best SAME-WINDOW pair this round normalizes to
+0.86 (123.14s → 47.93s at 2.98x measured capacity).  Earlier findings
+that still hold: worker-side pyarrow write measured SLOWER than the
+JVM writer (2.99x vs 2.44x scaling — kept opt-in); GC exonerated
+(ParallelGC full-pause < 4s/round at 48g and 96g); scale-4 corpus
+rejected (write+steal outgrow floor amortization).  At the 10^10
+design point each politeness round schedules 10^6-10^7 URLs per host
+shard, so the parallel fraction approaches 1 and the efficiency
+measured here is a lower bound.
 
 Partitioning math at design point (SURVEY.md §4): 4096 url-hash shards;
 bloom seen-set ~2.4M keys/shard ≈ 4 MB at 14 bits/key (one small file

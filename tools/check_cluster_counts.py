@@ -41,6 +41,7 @@ if mode == "cluster":
                       shuffle_partitions=32,
                       extra_conf={{"spark.driver.memory": "8g",
                                   "spark.executor.memory": "14g",
+                                  "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
                                   "spark.executor.heartbeatInterval": "60s",
                                   "spark.network.timeout": "600s"}})
 else:
