@@ -221,10 +221,18 @@ def summarize(samples_file: str, mode: str) -> dict | None:
     def _pair_norm(r: dict) -> float:
         return (r["r8"]["seconds"] / r["r32"]["seconds"]) / min(r["cap"], 4.0)
 
+    # A pair_norm above 1.0 is physically impossible (a program cannot
+    # out-scale the machine's own capacity ratio): it means the weather
+    # SHIFTED between the rep's two runs — the 8-core run was stolen
+    # while the 32-core run was not — so the same-window assumption is
+    # violated and the PAIRING (not the machine) is invalid.  Exclude
+    # such reps from best-pair selection, symmetric with discarding
+    # capacity samples above 4.0.
+    paired = [r for r in recs if _pair_norm(r) <= 1.0] or recs
     # key=, not tuple-max: equal ratios would fall through to comparing
     # the dicts themselves and raise TypeError (ADVICE r04 #5)
-    best = max(recs, key=_pair_norm)
-    pair_norms = sorted((round(_pair_norm(r), 2) for r in recs),
+    best = max(paired, key=_pair_norm)
+    pair_norms = sorted((round(_pair_norm(r), 2) for r in paired),
                         reverse=True)
     return {
         "best_pair_norm": round(_pair_norm(best), 2),
@@ -364,7 +372,11 @@ questions and are NOT interchangeable:
    physics (both levels + the capacity probe inside one weather
    window), but max-of-N over noisy reps is tail selection — evidence
    the machine CAN, not that the code DOES.  Reported for context,
-   never binding.
+   never binding.  Pairs whose normalized value exceeds 1.0 are
+   EXCLUDED as invalid: a program cannot out-scale the machine, so
+   such a reading means the weather shifted between the rep's two
+   runs and the pairing itself is broken (symmetric with discarding
+   capacity samples above the physical 4.0).
 3. **Median pair**: the typical same-window experience; diagnostic
    only.
 
