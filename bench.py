@@ -37,7 +37,21 @@ HEADLINE = [
     "lineitem_agg",
     "join_agg",
     "pagination",
+    # heavy LLM-pipeline op in the official artifact so regressions on
+    # the band-join → Jaccard-verify path are visible (VERDICT r05 #7)
+    "near_dup_pairs",
 ]
+
+# Cross-invocation sample pool: this VM's hypervisor steal comes in
+# 10-30 min weather systems that shift identical runs 20-70%, so a
+# single invocation — even min-of-3 — can publish a pure-weather
+# regression (BENCH_r05 vs r04: every query uniformly slower, zero code
+# change on most).  Every invocation appends its raw samples here and
+# the artifact renders POOLED minima over all records with the same
+# (sf, cpus, scale, headline-set) key — the same protocol as
+# tools/bench_scaling.py.  Delete the file whenever measured code
+# changes materially (mixing code states pollutes the minima).
+POOL = Path(__file__).resolve().parent / "BENCH" / "bench_samples.jsonl"
 
 
 def _materialize(df) -> None:
@@ -49,10 +63,11 @@ def _materialize(df) -> None:
 def run_frontier_replay(spark, n_browse: int, n_users: int, n_other: int,
                         rounds: int, window_sec: float,
                         reps: int = 3) -> dict:
-    """Best-of-``reps`` crawl replay (fresh engine root each rep, shared
+    """``reps`` crawl-replay samples (fresh engine root each rep, shared
     corpus).  This VM's hypervisor steal varies identical runs 2-4x, so
-    a single sample is noise — min-of-N samples the least-stolen window
-    (same protocol as tools/bench_scaling.py; VERDICT r02 'wrong' #4)."""
+    a single sample is noise — the caller pools samples ACROSS
+    invocations and takes min-of-N (same protocol as
+    tools/bench_scaling.py; VERDICT r02 'wrong' #4, r05 'wrong' #1)."""
     import shutil
     import tempfile
 
@@ -100,9 +115,7 @@ def run_frontier_replay(spark, n_browse: int, n_users: int, n_other: int,
                 "urls_per_sec": round(urls / dt, 1),
             })
         pages.unpersist()
-        best = min(samples, key=lambda s: s["seconds"])
-        best["all_seconds"] = [s["seconds"] for s in samples]
-        return best
+        return samples
     finally:
         shutil.rmtree(data, ignore_errors=True)
 
@@ -131,10 +144,7 @@ def main() -> None:
             t0 = time.perf_counter()
             _materialize(df)
             samples[name].append(time.perf_counter() - t0)
-    per_query = {name: round(min(ts), 3) for name, ts in samples.items()}
-    total = sum(per_query.values())
-
-    replay = run_frontier_replay(
+    replay_samples = run_frontier_replay(
         spark,
         n_browse=int(1200 * scale),
         n_users=int(2500 * scale),
@@ -143,8 +153,40 @@ def main() -> None:
         window_sec=3600.0,
         reps=int(os.getenv("SPARK_GRAFT_BENCH_REPS", "3")),
     )
+
+    # ---- pool this invocation's raw samples, render pooled minima ----
+    key = {"sf": sf, "cpus": int(cpus), "scale": scale,
+           "headline": sorted(HEADLINE)}
+    rec = {
+        "ts": round(time.time(), 1),
+        **key,
+        "queries": {n: [round(t, 3) for t in ts]
+                    for n, ts in samples.items()},
+        "frontier_samples": replay_samples,
+    }
+    POOL.parent.mkdir(exist_ok=True)
+    with open(POOL, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    recs = []
+    with open(POOL) as f:
+        for line in f:
+            if line.strip():
+                r = json.loads(line)
+                if all(r.get(k) == v for k, v in key.items()):
+                    recs.append(r)
+
+    per_query = {
+        name: round(min(min(r["queries"][name]) for r in recs
+                        if r["queries"].get(name)), 3)
+        for name in HEADLINE
+    }
+    total = sum(per_query.values())
+    frontier_pool = [s for r in recs for s in r["frontier_samples"]]
+    replay = dict(min(frontier_pool, key=lambda s: s["seconds"]))
+    replay["all_seconds"] = [s["seconds"] for s in frontier_pool]
     replay["scale"] = scale
-    total += replay["seconds"]  # best-of-reps (steal-robust)
+    total += replay["seconds"]
+    span_h = (max(r["ts"] for r in recs) - min(r["ts"] for r in recs)) / 3600
 
     print(
         json.dumps(
@@ -155,6 +197,17 @@ def main() -> None:
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "frontier": replay,
+                # pooled-minima provenance: how many invocations / raw
+                # samples back the numbers above, over what wall span
+                "pool": {
+                    "invocations": len(recs),
+                    "query_passes": sum(
+                        len(r["queries"].get(HEADLINE[0], []))
+                        for r in recs
+                    ),
+                    "frontier_reps": len(frontier_pool),
+                    "span_h": round(span_h, 2),
+                },
             }
         )
     )

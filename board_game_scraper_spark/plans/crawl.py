@@ -754,9 +754,21 @@ class CrawlEngine:
                 # flat rows) never crosses this exchange; parse
                 # parallelism itself is untouched either way.
                 parsed = parsed.repartition(self.write_coalesce or 4)
+            # 'retryable' mirrors retry_rows' filter EXACTLY (same
+            # RETRYABLE tuple, same attempt bound) so the round can skip
+            # the retries delta write entirely when it would be empty —
+            # no empty data dir in the manifest, no retraction commit
+            # (ADVICE r05 #3), one less Spark job on clean rounds.
+            retryable = F.sum(
+                (
+                    (F.col("item_kind") == "fetch")
+                    & F.col("fetch.status").isin(list(RETRYABLE))
+                    & (F.col("fetch.attempt") + 1 < F.lit(self.max_attempts))
+                ).cast("long")
+            ).alias("retryable")
             writer = parsed.observe(
                 obs_items, kind("page"), kind("game"), kind("user"),
-                kind("rating"), kind("fetch"),
+                kind("rating"), kind("fetch"), retryable,
             ).write.mode("overwrite")
             if self.partition_items:
                 writer = writer.partitionBy("item_kind")
@@ -872,9 +884,10 @@ class CrawlEngine:
             F.lit(round_no + 1).alias("not_before_round"),
             F.lit(None).cast("map<string,string>").alias("meta"),
         )
-        fresh = fresh.observe(
-            obs_fresh, F.count(F.lit(1)).alias("n")
-        ).cache()
+        # No cache: the fresh-delta prepare below is the branch's SINGLE
+        # consumer and materializer (obs_fresh rides its write job); the
+        # seen delta is derived from its output file, not recomputed.
+        fresh = fresh.observe(obs_fresh, F.count(F.lit(1)).alias("n"))
 
         # --- per-host metrics (A5; north_rule lineage requirement) ---------
         # metrics_rows is assembled inside the commit pool, once the
@@ -926,29 +939,10 @@ class CrawlEngine:
                     F.lit(round_no).alias("round"),
                 ),
                 lineage=lineage, coalesce=self.write_coalesce)))
-        seen_delta = fresh.select(
-            "url_hash", "url_canon",
-            F.lit(round_no + 1).alias("first_round"),
-        )
-
-        def _seen_write():
-            # This append doubles as the discovery branch's single
-            # materializer: ONE job fills the fresh cache and the
-            # obs_disc/obs_fresh observations (previously a separate
-            # count() pass — VERDICT r02 serial floor).  A tail round
-            # with zero fresh rows writes an empty delta file: file IO
-            # only, no extra Spark job.
-            self.seen.append(seen_delta, lineage=lineage,
-                             coalesce=self.write_coalesce)
-            if self.bloom is not None and int(obs_fresh.get["n"] or 0):
-                self.bloom.add(seen_delta)
-
-        if n_ok:
-            writes.append(("seen", _seen_write))
-
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        empty_prep = {"files": [], "dfiles": []}
+        with ThreadPoolExecutor(max_workers=8) as pool:
             # Frontier delta (merge-on-read): append retries+fresh,
             # equality-delete the scheduled rows.  IO is
             # O(scheduled+discovered) per round — the 10^10-row frontier
@@ -959,14 +953,20 @@ class CrawlEngine:
             # newer than any generation deletable this round), so old
             # delete tuples can never shadow newly appended rows.
             #
-            # The delta's DATA writes overlap the other table commits
-            # (the delete side depends only on the scheduled cache; the
-            # append side waits for the seen write so the discovery
-            # branch isn't computed twice).  Only the MANIFEST flip —
-            # the resume marker — happens strictly last, after every
-            # write has succeeded; until then the delta dirs are
-            # invisible orphans (VERDICT r04 next #1b, the safe half of
-            # round double-buffering).
+            # Stage A — everything that depends only on the committed
+            # scratch / caches runs concurrently: the delta's three data
+            # writes (deletes, retries, fresh), the items manifest
+            # commit, and the opt-in host_state/last_scraped writes.
+            # The FRESH prepare is the discovery branch's single
+            # materializer (obs_disc/obs_fresh ride its write job —
+            # driving-safe per the counts note above); the seen append
+            # is derived from its OUTPUT FILE in stage B, so the branch
+            # is computed exactly once and the seen append no longer
+            # serializes ahead of the metrics write (VERDICT r05 next
+            # #6: the commit tail was two full write latencies).  Only
+            # the MANIFEST flip — the resume marker — happens strictly
+            # last, after every write has succeeded; until then the
+            # delta dirs are invisible orphans.
             fut_del = pool.submit(
                 lambda: self.frontier.prepare_delta(
                     deletes=scheduled.select(
@@ -975,33 +975,62 @@ class CrawlEngine:
                     coalesce=self.write_coalesce,
                 )
             )
-            # The retries append depends only on the committed scratch —
-            # it never waits for the seen write (obs_retry rides this
-            # job).  Fresh discoveries get their own prep below, gated
-            # on a non-zero count, so the common tail round writes no
-            # empty fresh file and runs no discovery subtree twice.
-            fut_ret = pool.submit(
-                lambda: self.frontier.prepare_delta(
-                    appends=retries, coalesce=self.write_coalesce,
+            # Retries prepare, gated on the parse-observed retryable
+            # count (ADVICE r05 #3: a zero-retry round used to commit an
+            # empty delta dir).  The native-write path has no such
+            # observation (per-task stat rows only) — it prepares
+            # unconditionally and drops an empty result pre-commit.
+            n_retry_hint = parse_counts.get("retryable")
+            fut_ret = (
+                pool.submit(
+                    lambda: self.frontier.prepare_delta(
+                        appends=retries, coalesce=self.write_coalesce,
+                    )
                 )
+                if (n_retry_hint is None or int(n_retry_hint))
+                else None
             )
-            futures = [(name, pool.submit(fn)) for name, fn in writes]
-            for name, fut in futures:
-                fut.result()  # propagate the first failure
-                _mark(f"{name}_write")
-            # Discovery counts become observable once the seen append
-            # (or, with n_ok == 0, nothing) has materialized the branch.
-            n_fresh = int(obs_fresh.get["n"] or 0) if n_ok else 0
-            n_disc = int(obs_disc.get["n"] or 0) if n_ok else 0
             fut_fresh = (
                 pool.submit(
                     lambda: self.frontier.prepare_delta(
                         appends=fresh, coalesce=self.write_coalesce,
                     )
                 )
-                if n_fresh
+                if n_ok
                 else None
             )
+            futures = [(name, pool.submit(fn)) for name, fn in writes]
+            for name, fut in futures:
+                fut.result()  # propagate the first failure
+                _mark(f"{name}_write")
+            prep_f = (fut_fresh.result() if fut_fresh is not None
+                      else dict(empty_prep))
+            # Discovery counts become observable once the fresh prepare
+            # (or, with n_ok == 0, nothing) has materialized the branch.
+            n_fresh = int(obs_fresh.get["n"] or 0) if n_ok else 0
+            n_disc = int(obs_disc.get["n"] or 0) if n_ok else 0
+            _mark("fresh_prep")
+
+            # Stage B — two tiny derived appends, concurrent.
+            def _seen_write():
+                # Projection of the fresh delta file just written —
+                # re-read (a few small parquet files), never recomputed.
+                fresh_rows = self.spark.read.schema(
+                    schemas.FRONTIER
+                ).parquet(
+                    *[str(self.frontier.path / rel)
+                      for rel in prep_f["files"]]
+                )
+                sd = fresh_rows.select(
+                    "url_hash", "url_canon",
+                    F.lit(round_no + 1).alias("first_round"),
+                )
+                self.seen.append(sd, lineage=lineage,
+                                 coalesce=self.write_coalesce)
+                if self.bloom is not None:
+                    self.bloom.add(sd)
+
+            fut_seen = pool.submit(_seen_write) if n_fresh else None
             metrics_rows = host_metrics.select(
                 "round", "host", "scheduled", "fetched", "failed",
                 F.lit(n_items).alias("parsed_items"),
@@ -1015,25 +1044,38 @@ class CrawlEngine:
                 )
             )
             prep_del = fut_del.result()
-            prep_app = fut_ret.result()
-            if fut_fresh is not None:
-                prep_f = fut_fresh.result()
-                prep_app = {
-                    "files": prep_app["files"] + prep_f["files"],
-                    "dfiles": prep_app["dfiles"] + prep_f["dfiles"],
-                }
+            if fut_ret is not None:
+                prep_ret = fut_ret.result()
+                retry_stats = obs_retry.get
+            else:
+                prep_ret = dict(empty_prep)
+                retry_stats = {"n": 0, "min_nb": None}
+            n_retries = int(retry_stats["n"] or 0)
+            # Drop prepared-but-empty delta dirs BEFORE the commit: the
+            # dirs were never referenced by any manifest, so removing
+            # them is safe and quiet rounds add nothing to the read
+            # fan-in (ADVICE r05 #3 — previously an empty retries dir
+            # per quiet round until the compact cadence).
+            for prep, n in ((prep_ret, n_retries), (prep_f, n_fresh)):
+                if n == 0 and prep["files"]:
+                    for rel in prep["files"]:
+                        _shutil.rmtree(self.frontier.path / rel,
+                                       ignore_errors=True)
+                    prep["files"] = []
+            if fut_seen is not None:
+                fut_seen.result()
             fut_m.result()
-            _mark("metrics_write")
+            _mark("seen_metrics_write")
         # Frontier balance, all from write-job observations + manifest
         # arithmetic (no extra jobs, robust to multi-executor cache
         # races — see the counts note above): the post-commit row count
         # rides the commit manifest so frontier_rows() never runs a job.
-        retry_stats = obs_retry.get
-        n_retries = int(retry_stats["n"] or 0)
         pending = n_frontier - n_scheduled + n_retries + n_fresh
         self.frontier.commit_prepared_delta(
-            {"files": prep_del["files"] + prep_app["files"],
-             "dfiles": prep_del["dfiles"] + prep_app["dfiles"]},
+            {"files": (prep_del["files"] + prep_ret["files"]
+                       + prep_f["files"]),
+             "dfiles": (prep_del["dfiles"] + prep_ret["dfiles"]
+                        + prep_f["dfiles"])},
             delete_keys=["url_hash", "attempt", "discovery_round"],
             lineage=lineage,
             metrics={
@@ -1048,10 +1090,27 @@ class CrawlEngine:
         self._frontier_rows = pending
         _mark("frontier_delta")
         if self.compact_every and round_no % self.compact_every == 0:
-            self.frontier.compact(
+            # count_metric: the rewrite job observes the EXACT row count
+            # and records it as frontier_rows, re-syncing the manifest
+            # arithmetic every cadence — a drift (e.g. a delete tuple
+            # matching several rows under a non-unique corpus key) can
+            # never outlive one compaction (ADVICE r05 #1).
+            man_c = self.frontier.compact(
                 lineage={"round": round_no, "stage": "compact"},
                 coalesce=self.write_coalesce,
+                count_metric="frontier_rows",
             )
+            exact = int(man_c["metrics"]["frontier_rows"])
+            if exact != pending:
+                import warnings
+
+                warnings.warn(
+                    f"frontier_rows arithmetic drift at round {round_no}: "
+                    f"tracked {pending}, exact {exact} — re-synced",
+                    stacklevel=2,
+                )
+            pending = exact
+            self._frontier_rows = exact
             if self.bloom is not None:
                 # Fold the O(new-keys) delta rows accumulated since the
                 # last fold into the per-shard bitmaps (same cadence as
@@ -1098,7 +1157,7 @@ class CrawlEngine:
             next_eligible = round_no + 1
             self._next_frontier = None
 
-        for df in (frontier, scheduled, disc_raw, disc, fresh):
+        for df in (frontier, scheduled, disc_raw, disc):
             df.unpersist()
         self._pending_hint = pending
         # scratch is NOT deleted: it is the committed items data dir.

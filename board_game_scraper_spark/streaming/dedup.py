@@ -11,7 +11,7 @@ exactly Scrapy's dupefilter semantics (reference: implicit dupefilter +
 
 Scale notes:
 - shard-by-``pmod(url_hash, n_shards)`` gives the same partition-local
-  state layout as the batch ShardedBloom/SnapshotBloom designs;
+  state layout as the batch SnapshotBloom design;
 - two state payloads (``state=`` param):
   * ``"exact"`` — per-shard exact hash array.  Exact semantics, but
     state grows O(seen) and is rewritten wholesale per batch: fine for

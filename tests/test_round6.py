@@ -1,0 +1,185 @@
+"""Round-6 regressions: zero-listdir hive reads (manifest leaf map),
+prune-on-empty guard, no empty frontier delta dirs on quiet rounds,
+frontier_rows re-sync on the compact cadence, global_row_ids id
+permutation at num_partitions > data partitions, nested-hive fallback.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType,
+)
+
+from board_game_scraper_spark import schemas, synth
+from board_game_scraper_spark.plans.crawl import CrawlEngine
+from board_game_scraper_spark.tables import SnapshotTable
+
+KINDED = StructType([
+    StructField("k", LongType(), True),
+    StructField("item_kind", StringType(), True),
+])
+
+NESTED = StructType([
+    StructField("k", LongType(), True),
+    StructField("item_kind", StringType(), True),
+    StructField("sub", StringType(), True),
+])
+
+
+def _mk(spark, pages_pd, tmp, **kw):
+    pages = spark.createDataFrame(pages_pd, schemas.PAGES)
+    return CrawlEngine(spark, tmp, pages, **kw)
+
+
+# ------------------------------------------------ zero-listdir hive reads
+
+def test_hive_read_does_no_listdir(spark, tmp_path, monkeypatch):
+    """The leaf-partition map is recorded in the manifest at commit time
+    (one listdir per commit); the READ path must never walk the
+    filesystem — at 10^4 commits the old path ran 10^4 driver listdirs
+    per read (VERDICT r05 'wrong' #3)."""
+    t = SnapshotTable(spark, tmp_path / "t", KINDED, hive_dirs=True)
+    for i in range(12):
+        df = spark.createDataFrame(
+            [(i * 10 + j, "page" if j % 2 == 0 else "game")
+             for j in range(10)],
+            KINDED,
+        ).repartition(1)
+        t.append(df, partition_by=["item_kind"])
+
+    calls = []
+    real_listdir = os.listdir
+
+    def counting_listdir(path="."):
+        calls.append(str(path))
+        return real_listdir(path)
+
+    monkeypatch.setattr(os, "listdir", counting_listdir)
+    rows = {r["k"]: r["item_kind"] for r in t.read().collect()}
+    monkeypatch.undo()
+    table_walks = [c for c in calls if str(tmp_path) in c]
+    assert table_walks == [], f"read path walked the table: {table_walks}"
+    assert len(rows) == 120
+    assert rows[0] == "page" and rows[1] == "game"
+
+
+def test_hive_read_listdir_fallback_for_old_manifests(spark, tmp_path):
+    """A manifest written by older code (no file_parts) still reads
+    correctly — per-rel listdir fallback."""
+    t = SnapshotTable(spark, tmp_path / "t", KINDED, hive_dirs=True)
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(i * 10 + j, "page" if j % 2 == 0 else "game")
+             for j in range(4)],
+            KINDED,
+        ).repartition(1)
+        t.append(df, partition_by=["item_kind"])
+    # simulate an old manifest: strip the leaf map
+    import json
+
+    snap = t.current_snapshot()
+    mpath = t.path / "snapshots" / snap["name"]
+    snap.pop("file_parts", None)
+    mpath.write_text(json.dumps(snap))
+    assert t.read().count() == 12
+
+
+def test_nested_hive_partitioning_reads_standalone(spark, tmp_path):
+    """Nested partitionBy (two hive levels) must not go through the
+    leaf-merging path (it would misattribute the inner keys) — such
+    dirs are read standalone as their own partition roots (ADVICE r05
+    #5)."""
+    t = SnapshotTable(spark, tmp_path / "t", NESTED, hive_dirs=True)
+    for i in range(2):
+        df = spark.createDataFrame(
+            [(i * 10 + j, "page" if j % 2 == 0 else "game",
+              "a" if j < 2 else "b") for j in range(4)],
+            NESTED,
+        ).repartition(1)
+        t.append(df, partition_by=["item_kind", "sub"])
+    rows = {(r["k"]): (r["item_kind"], r["sub"])
+            for r in t.read().collect()}
+    assert len(rows) == 8
+    assert rows[0] == ("page", "a") and rows[3] == ("game", "b")
+    # the manifest marks these dirs as nested (null leaf list)
+    parts = t.current_snapshot()["file_parts"]
+    assert all(v is None for v in parts.values())
+
+
+# ------------------------------------------------------ prune-on-empty guard
+
+def test_prune_files_on_empty_table_raises(spark, tmp_path):
+    """prune_files on a table with no snapshot used to fall through to
+    the default commit path and commit the to-be-removed rels AS data
+    (ADVICE r05 #2)."""
+    t = SnapshotTable(spark, tmp_path / "t", KINDED)
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.prune_files(["data/deadbeef"])
+    assert t.current_snapshot() is None
+
+
+# -------------------------------------- no empty delta dirs on quiet rounds
+
+def test_quiet_rounds_commit_no_empty_frontier_dirs(spark, tmp_path):
+    """A round with zero retries must not commit an empty retries delta
+    dir (ADVICE r05 #3): every data dir referenced by every frontier
+    manifest holds at least one row."""
+    seeds_pd, pages_pd = synth.corpus(n_browse=4, n_users=6, n_other=4)
+    pages_pd = pages_pd.copy()
+    pages_pd["status"] = 200  # nothing retryable anywhere
+    eng = _mk(spark, pages_pd, tmp_path / "c", window_sec=1e6,
+              compact_every=0)
+    eng.seed(spark.createDataFrame(seeds_pd, schemas.SEEDS))
+    metrics = eng.crawl(6)
+    assert sum(m.get("scheduled", 0) for m in metrics) > 0
+    seen_rels = set()
+    for snap in eng.frontier.snapshots():
+        for rel in snap["files"]:
+            seen_rels.add(rel)
+    assert seen_rels, "crawl committed no frontier data dirs"
+    for rel in sorted(seen_rels):
+        p = eng.frontier.path / rel
+        if not p.exists():
+            continue
+        n = spark.read.schema(schemas.FRONTIER).parquet(str(p)).count()
+        assert n > 0, f"empty delta dir committed: {rel}"
+
+
+# --------------------------------------------- frontier_rows compact re-sync
+
+def test_frontier_rows_resyncs_on_compact(spark, tmp_path):
+    """Manifest-arithmetic drift (simulated) is corrected by the exact
+    count observed on the compaction rewrite job (ADVICE r05 #1), and
+    the re-synced value survives resume."""
+    seeds_pd, pages_pd = synth.corpus(n_browse=4, n_users=6, n_other=4)
+    eng = _mk(spark, pages_pd, tmp_path / "c", window_sec=1e6,
+              compact_every=1)
+    eng.seed(spark.createDataFrame(seeds_pd, schemas.SEEDS))
+    # inject drift into the tracked count
+    eng._frontier_rows = eng.frontier_rows() + 7
+    with pytest.warns(UserWarning, match="arithmetic drift"):
+        eng.run_round(1)
+    exact = eng.frontier.read().count()
+    assert eng.frontier_rows() == exact
+    # resume: a fresh engine recovers the exact value from the manifest
+    eng2 = _mk(spark, pages_pd, tmp_path / "c", window_sec=1e6)
+    assert eng2.frontier_rows() == exact
+
+
+# ------------------------------------------- global_row_ids id permutation
+
+def test_global_row_ids_permutation_when_overpartitioned(spark):
+    """Ids must be a 1..N permutation in sort order even when
+    num_partitions exceeds the data's partition count — guards the
+    ReuseExchange/AQE assumption the two branches share one range
+    exchange (ADVICE r05 #4)."""
+    from board_game_scraper_spark.operators.split import global_row_ids
+
+    df = spark.createDataFrame(
+        [(i, f"v{i:03d}") for i in range(97)], "k long, v string"
+    ).repartition(2)
+    out = global_row_ids(df, ["k"], num_partitions=16)
+    rows = sorted((r["k"], r["_gid"]) for r in out.collect())
+    assert [g for _, g in rows] == list(range(1, 98))

@@ -4,7 +4,9 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from board_game_scraper_spark.plans.seen import ShardedBloom, filter_unseen
+from legacy_bloom import ShardedBloom
+
+from board_game_scraper_spark.plans.seen import filter_unseen
 
 
 def test_bloom_no_false_negatives(tmp_path):
