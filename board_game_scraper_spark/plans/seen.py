@@ -133,9 +133,13 @@ class SnapshotBloom:
         - **pending delta rows** (un-compacted hashes) are EXACT keys —
           membership is a plain JVM semi-join (broadcast-sized: deltas
           are bounded by the compaction cadence).  Running them through
-          the pandas cogroup was pure Python overhead — and before the
-          first ``compact()`` the table is ALL deltas, so the hot crawl
-          path paid a Python stage for what Catalyst does natively.
+          the pandas cogroup was pure Python overhead.  Before the
+          first ``compact()`` the table is ALL deltas — the complete
+          key set — so the prefilter can't rule anything out and
+          short-circuits to ``maybe_seen = True`` for every candidate
+          (a correct bloom answer by contract), letting the caller's
+          single exact anti-join do the whole job with zero extra
+          joins on the hot pre-compaction crawl path.
         - **bitmap rows** need numpy bit math — the pandas cogroup runs
           ONLY against them, and only for candidates the delta join
           didn't already flag, gated manifest-side by the ``bitmaps``
@@ -146,16 +150,24 @@ class SnapshotBloom:
             return candidates.withColumn("maybe_seen", F.lit(False))
         rows = self.table.read()
         has_bitmaps = ((snap.get("metrics") or {}).get("bitmaps"))
+        if has_bitmaps is not None and not has_bitmaps:
+            # Never compacted: the table is ALL delta rows, i.e. the
+            # complete key set — the bloom layer can't rule anything
+            # out that the exact join wouldn't, so flagging everything
+            # maybe_seen routes it all to the one exact anti-join in
+            # filter_unseen.  The previous shape (delta semi-join +
+            # anti-join here, exact join after) spent two extra
+            # broadcast joins per round to save nothing: maybe_seen =
+            # True for all is always a CORRECT bloom answer (false
+            # positives only send rows to the exact join), and pre-
+            # first-compaction it is also the cheapest one.
+            return candidates.withColumn("maybe_seen", F.lit(True))
         deltas = rows.where(F.col("bits").isNull()).select(
             F.col("hash").alias("url_hash")
         )
         delta_hit = candidates.join(deltas, "url_hash", "left_semi") \
             .withColumn("maybe_seen", F.lit(True))
         rest = candidates.join(deltas, "url_hash", "left_anti")
-        if has_bitmaps is not None and not has_bitmaps:
-            return delta_hit.unionByName(
-                rest.withColumn("maybe_seen", F.lit(False))
-            )
         # bitmaps exist (or unknown metric on a pre-existing table —
         # conservative): numpy check over bitmap rows only
         m_bits = self.m_bits

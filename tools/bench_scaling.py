@@ -478,39 +478,36 @@ and are discarded as invalid).
 ## Decomposition and extrapolation to the 10^10-URL design point
 
 Component scaling, measured per-stage on the same corpus (STAGE marks
-in every sample's stderr; numbers = the cleanest observed windows
-across r04-r05): the fused schedule→fetch→Arrow-parse→parquet stage
-runs 85.8s → 28.3s = **3.03x ≈ 0.90 of the measured machine
-ceiling**; the discovery/seen branch 6.7s → 3.8s; items+metrics
-commits ~1.3s.  Round-5 structural work then attacked the flat
-(non-scaling) terms: (a) the frontier delta's data writes now OVERLAP
-the other table commits (prepare/commit split; only the manifest flip
-— the resume marker — lands last): the frontier_delta mark reads
-0.00-0.04s at both levels, from 0.7-0.8s; (b) the tail retry rounds —
-the measured flat floor, 1,481 backoff URLs per latency-bound
-superstep — run a lean plan (salt-guard window skipped under a proven
-small frontier, post-parse repartition cuts 64 near-empty hive
-writers to 4, the exact in-memory retry expression replaces the
-frontier scan + two delete anti-joins): measured 14.8s/8.2s →
-5.4s/4.3s at local[32] in the SAME weather window, identical outputs,
-and ~2.7s/2.1s fused at local[8] in clean windows; (c) the fresh-
-discoveries delta file is count-gated, so tail rounds skip the
-discovery subtree entirely.  Weather honesty: this round's 18-rep
-pool never saw a clean 32-core window (capacity samples 2.65-3.36 all
-session, 32-core runs spanning 43-112s for identical work), so the
-pooled r32 floor (43.12s) is weather-capped — the r04 code observed
-38.45s in one clean window, and this round's code removes ~4s of flat
-cost from that path; the pooled r8 floor (94.92s) matches r04's
-(94.0s) as expected for the 8-core level where the flat terms are a
-smaller share.  The best SAME-WINDOW pair this round normalizes to
-0.86 (123.14s → 47.93s at 2.98x measured capacity).  Earlier findings
-that still hold: worker-side pyarrow write measured SLOWER than the
-JVM writer (2.99x vs 2.44x scaling — kept opt-in); GC exonerated
-(ParallelGC full-pause < 4s/round at 48g and 96g); scale-4 corpus
-rejected (write+steal outgrow floor amortization).  At the 10^10
-design point each politeness round schedules 10^6-10^7 URLs per host
-shard, so the parallel fraction approaches 1 and the efficiency
-measured here is a lower bound.
+in every sample's stderr; event-log task profiles in round 6): the
+fused schedule→fetch→Arrow-parse→parquet stage runs 85.8s → 28.2s =
+**3.04x ≈ 0.90 of the measured machine ceiling** (~780 task-seconds,
+makespan bound by its largest input split at local[32]); items+metrics
+commits overlap the frontier delta prepare (stage A/B commit pool;
+items_write marks 0.4-0.5s, seen_metrics 0.4-0.6s, frontier_delta
+0.00-0.04s at both levels — the resume-marker manifest flip still
+lands strictly last).  Round-6 structural work, found by task-level
+event-log profiling: (a) the discovered-URL dedup planned as
+SortAggregate — `first(callback_kind)` has a var-length aggregation
+buffer, so every round SORTED ~21M exploded URL mentions (78 CPU-s,
+uniform ~2.5s per task with ~1MB input); a two-level aggregation
+(level 1 keys the kind into GROUP BY, fixed-width max(int) buffer →
+codegen'd HashAggregate collapsing 608k→6k rows per task map-side)
+cut the fresh-branch job 3.4s→1.7s wall / 78→30 CPU-s at local[32];
+(b) the bloom prefilter pre-first-compaction (table = all delta rows
+= the complete key set) spent two broadcast joins to rule nothing
+out — it now short-circuits to maybe_seen=true and the single exact
+anti-join does the whole job; (c) retained from round 5: lean tail
+retry rounds (5.4/4.3s → ~3.5s with (a)+(b)), count-gated fresh
+delta, overlapped commit pool.  Same-window profile runs: crawl
+43.2s → 40.2s at local[32] after (a)+(b).  Earlier findings that
+still hold: worker-side pyarrow write measured SLOWER than the JVM
+writer (kept opt-in); GC exonerated (ParallelGC full-pause < 4s/round
+at 48g and 96g); scale-4 corpus rejected under r04 code
+(write+steal outgrow floor amortization — may be revisited now that
+the flat terms are smaller).  At the 10^10 design point each
+politeness round schedules 10^6-10^7 URLs per host shard, so the
+parallel fraction approaches 1 and the efficiency measured here is a
+lower bound.
 
 Partitioning math at design point (SURVEY.md §4): 4096 url-hash shards;
 bloom seen-set ~2.4M keys/shard ≈ 4 MB at 14 bits/key (one small file
