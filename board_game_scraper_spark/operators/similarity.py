@@ -113,6 +113,67 @@ def hyperplane_buckets(
                           bucket.alias("bucket"))
 
 
+def embedding_near_dup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table
+    hyperplane LSH (training-pipeline dedup op).
+
+    The only all-pairs-free shape that survives 10^10 vectors:
+
+    1. each of ``n_tables`` independent hyperplane tables assigns every
+       vector an ``n_planes``-bit sign bucket (``hyperplane_buckets``,
+       seeded per table — weights are xxhash64-derived JVM-side, no
+       driver matrix);
+    2. candidate pairs = self-EQUI-join on (table, bucket) with
+       ``id_a < id_b`` (never a cartesian — the same banded-join shape
+       as MinHash-LSH in operators/dedup.py);
+    3. exact cosine verify ``>= threshold`` over the candidates only.
+
+    Recall is the standard LSH union over tables (1-(1-p^planes)^tables
+    for per-plane agreement p = 1 - angle/pi); misses are possible by
+    design — raise ``n_tables`` / lower ``n_planes`` for higher recall.
+    False positives never survive step 3.
+    """
+    base = vectors.select(id_col, vec_col)
+    sigs = None
+    for t in range(n_tables):
+        bt = hyperplane_buckets(
+            base, id_col, vec_col, n_planes=n_planes, seed=1000 + t
+        ).select(id_col, F.lit(t).alias("t"), "bucket")
+        sigs = bt if sigs is None else sigs.unionByName(bt)
+    a = sigs.select(F.col(id_col).alias("_ida"), "t", "bucket")
+    b = sigs.select(F.col(id_col).alias("_idb"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .where(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    va = base.select(F.col(id_col).alias("_ida"),
+                     F.col(vec_col).alias("_va"))
+    vb = base.select(F.col(id_col).alias("_idb"),
+                     F.col(vec_col).alias("_vb"))
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        cand.join(va, "_ida").join(vb, "_idb")
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

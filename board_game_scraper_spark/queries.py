@@ -575,6 +575,103 @@ def q_near_dup_pairs(spark, sf_dir):
     return verified
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (training-pipeline dedup op):
+    embeddings ∪ deterministic perturbed copies (vec_id+100000, first
+    component +0.25) → 4-table × 8-plane hyperplane-LSH bucketing →
+    candidate pairs by (table, bucket) EQUI-join → exact cosine verify
+    >= 0.9.  Same shape as ``operators/similarity.embedding_near_dup``
+    (which derives hyperplane weights from xxhash64); this oracle
+    variant derives them from md5 so DuckDB reproduces the buckets
+    bit-exactly — same production-vs-oracle hash split as the
+    SimHash/MinHash family above.  Bucket bits take the sign of a
+    6-decimal-rounded plane dot so float noise can't flip a bit in one
+    engine only.  LSH recall < 1 by design: BOTH engines drop the same
+    pairs, so the comparison stays exact while the plan stays
+    all-pairs-free (banded equi-join, never a cartesian)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e64 = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", e64.alias("emb")).unionByName(
+        emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at(e64, 1) + F.lit(0.25)),
+                F.slice(e64, 2, 63),
+            ).alias("emb"),
+        )
+    )
+    dims = F.sequence(F.lit(0), F.lit(63))
+
+    def plane_dot(t, p):
+        w = F.transform(
+            dims,
+            lambda d: (
+                F.pmod(
+                    _h60(
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(t)),
+                            F.lit(str(p)),
+                            d.cast("string"),
+                        )
+                    ),
+                    F.lit(2001),
+                )
+                - 1000
+            )
+            / 1000.0,
+        )
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("emb"), w, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    sigs = None
+    for t in range(4):
+        bucket = None
+        for p in range(8):
+            bit = (
+                F.when(plane_dot(t, p) >= 0, F.lit(1 << p))
+                .otherwise(F.lit(0))
+            )
+            bucket = bit if bucket is None else bucket + bit
+        bt = base.select(
+            "vec_id", F.lit(t).alias("t"), bucket.cast("long").alias("bucket")
+        )
+        sigs = bt if sigs is None else sigs.unionByName(bt)
+    a = sigs.select(F.col("vec_id").alias("id_a"), "t", "bucket")
+    b = sigs.select(F.col("vec_id").alias("id_b"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("va"))
+    vb = base.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (na * nb), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.9)
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     """Winnowing-style document fingerprint: 4 smallest shingle hashes
     combined into one md5 (rolling-hash min-sketch)."""
@@ -1052,6 +1149,7 @@ QUERIES = {
     "simhash": q_simhash,
     "minhash_lsh_bands": q_minhash_lsh_bands,
     "near_dup_pairs": q_near_dup_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
     "fingerprint": q_fingerprint,
     "language_id": q_language_id,
     "bpe_token_count": q_bpe_token_count,
@@ -1350,6 +1448,42 @@ ORACLES = {
         WHERE round(len(list_intersect(sa.sh, sb.sh))
                   / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4)
               >= 0.5
+    """,
+    "embedding_near_dup": """
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                   list_prepend(embedding[1]::DOUBLE + 0.25,
+                                (embedding::DOUBLE[])[2:]) AS emb
+            FROM embeddings),
+        sigs AS (
+            SELECT vec_id, tt.t AS t,
+                   CAST(list_sum(list_transform(generate_series(0, 7), p ->
+                       CASE WHEN round(list_dot_product(emb,
+                                list_transform(generate_series(0, 63), d ->
+                                    ((('0x' || substr(md5(
+                                          CAST(tt.t AS VARCHAR) || ':' ||
+                                          CAST(p AS VARCHAR) || ':' ||
+                                          CAST(d AS VARCHAR)), 1, 15))
+                                        ::BIGINT % 2001) - 1000) / 1000.0)),
+                              6) >= 0
+                            THEN 1 << p ELSE 0 END)) AS BIGINT) AS bucket
+            FROM base, (VALUES (0), (1), (2), (3)) tt(t)),
+        cand AS (
+            SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+            FROM sigs l JOIN sigs r USING (t, bucket)
+            WHERE l.vec_id < r.vec_id)
+        SELECT id_a, id_b,
+               round(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+        FROM cand
+        JOIN base a ON a.vec_id = id_a
+        JOIN base b ON b.vec_id = id_b
+        WHERE round(list_dot_product(a.emb, b.emb)
+                  / (sqrt(list_dot_product(a.emb, a.emb))
+                     * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.9
     """,
     "fingerprint": f"""
         WITH toks AS (
