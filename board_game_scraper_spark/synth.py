@@ -905,10 +905,29 @@ def write_corpus_parquet(pages_pd, seeds_pd, data_dir: str,
     ])
     from pathlib import Path
 
+    import zlib
+
+    import numpy as np
+
     for name, pdf, schema in (("pages", pages_pd, pages_schema),
                               ("seeds", seeds_pd, seeds_schema)):
         out = Path(data_dir) / name
         out.mkdir(parents=True, exist_ok=True)
+        # Deterministic hash-interleave before slicing: the synth frame
+        # is generated kind-by-kind, so contiguous slices would cluster
+        # the heavy thing pages (100 rating comments each) into a few
+        # files — one unsplittable row group per file then binds the
+        # whole fused parse stage to its single biggest task (event-log
+        # profile, round 6: max task 27.6s ≈ 80% of the stage at
+        # local[32]).  A real frontier's fetch input arrives
+        # hash-distributed by url, so even file sizes are the
+        # production shape, not an optimization.
+        key_col = "url_canon" if "url_canon" in pdf.columns else "url"
+        order = np.argsort(
+            [zlib.crc32(u.encode()) for u in pdf[key_col]],
+            kind="stable",
+        )
+        pdf = pdf.iloc[order]
         tbl = pa.Table.from_pandas(pdf[[f.name for f in schema]],
                                    schema=schema, preserve_index=False)
         k = max(1, min(n_files, len(pdf) or 1))
