@@ -65,50 +65,72 @@ def cosine_topk(
     )
 
 
+def _hyperplane_weight(p, d, seed):
+    """Deterministic weight for (plane, dim): xxhash64 → [-1, 1]."""
+    return (
+        F.pmod(
+            F.xxhash64(F.lit(str(p)), F.lit(str(d)), F.lit(str(seed))),
+            F.lit(2000001),
+        )
+        - 1000000
+    ) / 1000000.0
+
+
 def hyperplane_buckets(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH bucketing by random-hyperplane signs.
 
     Hyperplanes are pseudo-random but deterministic: plane p, dim d has
-    weight hash(p,d) mapped to [-1,1] — computed JVM-side from xxhash64,
-    no driver-side matrix to broadcast.  bucket = sign-bit string.
+    weight hash(p,d) mapped to [-1,1].  The weights depend only on
+    (p, d, seed) — they are CONSTANTS — but Catalyst does not
+    constant-fold through HOF lambdas, so the old per-row formulation
+    re-ran n_planes*dim xxhash64 calls per vector (512/row for 8x64).
+    They are now evaluated once on a 1-row driver-side job (the same
+    xxhash64 expressions → identical doubles) and inlined as literal
+    arrays; the per-row work is just the n_planes dot products.
+
+    ``dim`` (vector width) is probed from the first row when not given —
+    vectors are assumed to share one width (true for every embedding
+    table in this repo; rows with FEWER dims still get the same weight
+    prefix via slice).
     """
-    dim = F.size(F.col(vec_col))
-    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+    spark = vectors.sparkSession
+    if dim is None:
+        head = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(head["d"]) if head is not None else 0
+    if dim <= 0:
+        # empty input: bucket column is never evaluated; keep the plan
+        # well-typed with a zero bucket
+        return vectors.select(F.col(id_col), F.col(vec_col),
+                              F.lit(0).cast("long").alias("bucket"))
+    wrow = spark.range(1).select(
+        F.array(
+            *[
+                F.array(*[_hyperplane_weight(p, d, seed)
+                          for d in range(dim)])
+                for p in range(n_planes)
+            ]
+        ).alias("w")
+    ).first()
+    weights = [[float(v) for v in plane] for plane in wrow["w"]]
 
-    def plane_dot(p):
-        # deterministic weight for (p, d): xxhash64 → [-1, 1]
-        idx = F.sequence(F.lit(0), dim - 1)
-        w = F.transform(
-            idx,
-            lambda d: (
-                F.pmod(
-                    F.xxhash64(p.cast("string"), d.cast("string"),
-                               F.lit(str(seed))),
-                    F.lit(2000001),
-                )
-                - 1000000
-            )
-            / 1000000.0,
+    vec = F.col(vec_col)
+    bucket = None
+    for p in range(n_planes):
+        w = F.array(*[F.lit(v) for v in weights[p]])
+        # rows may be narrower than ``dim``: trim the weight prefix so
+        # zip_with never pads (a padded null would null the dot product)
+        pd_ = dot(vec, F.slice(w, 1, F.size(vec)))
+        term = F.when(pd_ >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        return dot(F.col(vec_col), w)
-
-    # shiftleft needs a literal shift; 2^p via pow is exact for p < 53
-    bucket = F.aggregate(
-        F.transform(
-            planes,
-            lambda p: F.when(
-                plane_dot(p) >= 0, F.pow(F.lit(2.0), p).cast("long")
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseXOR(x),
-    )
+        bucket = term if bucket is None else bucket + term
     return vectors.select(F.col(id_col), F.col(vec_col),
                           bucket.alias("bucket"))
 
@@ -142,18 +164,33 @@ def embedding_near_dup(
     False positives never survive step 3.
     """
     base = vectors.select(id_col, vec_col)
+    head = base.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(head["d"]) if head is not None else 0
     sigs = None
     for t in range(n_tables):
         bt = hyperplane_buckets(
-            base, id_col, vec_col, n_planes=n_planes, seed=1000 + t
+            base, id_col, vec_col, n_planes=n_planes, seed=1000 + t,
+            dim=dim,
         ).select(id_col, F.lit(t).alias("t"), "bucket")
         sigs = bt if sigs is None else sigs.unionByName(bt)
-    a = sigs.select(F.col(id_col).alias("_ida"), "t", "bucket")
-    b = sigs.select(F.col(id_col).alias("_idb"), "t", "bucket")
+    # candidate pairs by GROUPING on (table, bucket) instead of a
+    # self-join: the join computed every table's bucketing twice
+    # (broadcast build + stream side); one shuffle of (t, bucket, id),
+    # ordered in-bucket pairs via posexplode (per-row memory O(bucket),
+    # pair count identical to the join's output)
+    buckets = sigs.groupBy("t", "bucket").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
     cand = (
-        a.join(b, ["t", "bucket"])
+        buckets.where(F.size("ids") >= 2)
+        .select("ids", F.posexplode("ids").alias("i", "_ida"))
+        .select(
+            "_ida",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("_idb"),
+        )
         .where(F.col("_ida") < F.col("_idb"))
-        .select("_ida", "_idb")
         .distinct()
     )
     va = base.select(F.col(id_col).alias("_ida"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles_col, tokens_col
+from .dedup import tokens_col
 
 # Tiny deterministic stopword profiles (top function words per language).
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -33,16 +33,24 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     break to the lexicographically smaller struct (deterministic).
     Docs with zero hits get lang = NULL.
     """
-    toks = tokens_col(F.col(text_col))
+    # materialize the split once, then the winning struct once — the
+    # inline form re-ran the split per language filter and the 4-way
+    # greatest() once per output column (guide §1.2 per-task work)
+    tdf = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
     scored = [
         F.struct(
-            F.size(F.filter(toks, lambda t: t.isin(*words))).alias("score"),
+            F.size(
+                F.filter(F.col("_toks"), lambda t: t.isin(*words))
+            ).alias("score"),
             F.lit(lang).alias("lang"),
         )
         for lang, words in sorted(LANG_PROFILES.items(), reverse=True)
     ]
-    best = F.greatest(*scored)
-    return df.select(
+    bdf = tdf.select(F.col(id_col), F.greatest(*scored).alias("_best"))
+    best = F.col("_best")
+    return bdf.select(
         F.col(id_col),
         F.when(best["score"] > 0, best["lang"]).alias("lang"),
         best["score"].alias("lang_score"),
@@ -53,8 +61,13 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic document quality in [0,1]: penalize too-short docs,
     high punctuation density, low stopword ratio, heavy token repetition
     (the classic pre-training quality gates)."""
-    text = F.trim(F.col(text_col))
-    toks = tokens_col(text)
+    tdf = df.select(
+        F.col(id_col),
+        F.trim(F.col(text_col)).alias("_text"),
+        tokens_col(F.trim(F.col(text_col))).alias("_toks"),
+    )
+    text = F.col("_text")
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
@@ -69,7 +82,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.lit(0.25) * distinct_ratio
         + F.lit(0.25) * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
     )
-    return df.select(
+    return tdf.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
@@ -86,7 +99,10 @@ BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens + chars per doc."""
-    text = F.trim(F.col(text_col))
+    tdf = df.select(
+        F.col(id_col), F.trim(F.col(text_col)).alias("_text")
+    )
+    text = F.col("_text")
     ws = F.size(tokens_col(text))
     bpe = F.size(
         F.filter(
@@ -96,7 +112,7 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             lambda t: F.trim(t) != "",
         )
     )
-    return df.select(
+    return tdf.select(
         F.col(id_col),
         ws.alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
@@ -109,14 +125,20 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str,
     """Content fingerprint: min-sketch of rolling shingle hashes —
     ``sketch`` smallest xxhash64 values over k-word shingles, combined
     into one 64-bit value (winnowing-style document signature)."""
+    from .dedup import shingles_from_toks
+
+    tdf = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    shdf = tdf.select(
+        F.col(id_col), shingles_from_toks(k=shingle_k).alias("_sh")
+    )
     hashes = F.array_sort(
-        F.transform(
-            shingles_col(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
-        )
+        F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
     )
     mins = F.slice(hashes, 1, sketch)
     combined = F.aggregate(
         mins, F.lit(0).cast("long"),
         lambda acc, x: F.xxhash64(acc.cast("string"), x.cast("string")),
     )
-    return df.select(F.col(id_col), combined.alias("fingerprint"))
+    return shdf.select(F.col(id_col), combined.alias("fingerprint"))

@@ -295,17 +295,43 @@ def q_quality_score(spark, sf_dir):
     """Document quality scoring: stopword ratio + mean token length."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    stop = F.filter(toks, lambda x: x.isin(*STOPWORDS))
-    return docs.select(
+    # materialize the split once — inline, each of the 5 references below
+    # would re-run the regex split per row (guide §1.2: per-task work)
+    tdf = docs.select("doc_id", "text", toks.alias("toks"))
+    tk = F.col("toks")
+    stop = F.filter(tk, lambda x: x.isin(*STOPWORDS))
+    return tdf.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(tk).alias("n_tokens"),
         F.size(stop).alias("n_stopwords"),
-        F.round(F.size(stop) / F.size(toks), 4).alias("stopword_ratio"),
+        F.round(F.size(stop) / F.size(tk), 4).alias("stopword_ratio"),
         F.round(
-            (F.length(F.trim(F.col("text"))) - F.size(toks) + 1)
-            / F.size(toks),
+            (F.length(F.trim(F.col("text"))) - F.size(tk) + 1)
+            / F.size(tk),
             4,
         ).alias("mean_token_len"),
+    )
+
+
+def _sh_from_toks(k: int = 3):
+    """k-word shingles from a MATERIALIZED ``toks`` array column.
+
+    The tokenizer split() must be a real column, not an inline
+    expression: interpreted HOF lambdas re-evaluate their body per
+    element, and CollapseProject inlines a non-cheap expression into a
+    lambda when it is referenced once syntactically — so an inline
+    split() runs 3x per shingle (measured 24x slowdown of minhash_band
+    at sf0.1: 7.2s vs 0.30s).  The 4 syntactic references to ``toks``
+    here (size + k element_at) keep CollapseProject from substituting
+    the split back in (it refuses to duplicate non-cheap expressions,
+    SPARK-36718)."""
+    tk = F.col("toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (k - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tk, i + j) for j in range(k)]
+        ),
     )
 
 
@@ -314,19 +340,9 @@ def q_minhash_band(spark, sf_dir):
     docs sharing a band value are near-dup candidates."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
-    )
-    minhash = F.array_min(F.transform(shingles, F.md5))
-    return docs.select("doc_id", minhash.alias("minhash"))
+    tdf = docs.select("doc_id", toks.alias("toks"))
+    minhash = F.array_min(F.transform(_sh_from_toks(), F.md5))
+    return tdf.select("doc_id", minhash.alias("minhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -454,26 +470,70 @@ def _shingles(text_col, k=3):
 
 def q_simhash(spark, sf_dir):
     """SimHash fingerprint (training-pipeline near-dup op): 16-bit
-    sign-aggregate of per-token hashes, all JVM-side HOFs."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.array_distinct(_toks(F.col("text")))
+    sign-aggregate of per-token hashes, all JVM-side HOFs.
 
-    def bit_sum(b):
-        return F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + (
-                F.shiftright(_h60(t), b).bitwiseAND(F.lit(1)).cast("int") * 2
-                - 1
+    One md5 per distinct token (not one per token PER BIT): each token's
+    hash is bound once via a 1-element transform input (HOF inputs are
+    evaluated once; lambda bodies are re-evaluated per element), its 16
+    ±1 bit contributions are unrolled into an array, and a single
+    aggregate() keeps the 16 running sums elementwise.  Same sums in the
+    same order as the per-bit formulation → identical fingerprints."""
+    docs = _t(spark, sf_dir, "documents")
+    tdf = docs.select(
+        "doc_id", F.array_distinct(_toks(F.col("text"))).alias("toks")
+    )
+
+    def contrib(t):
+        # bind h = _h60(t) once per token via the HOF input position
+        return F.element_at(
+            F.transform(
+                F.array(_h60(t)),
+                lambda h: F.array(
+                    *[
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int")
+                        * 2
+                        - 1
+                        for b in range(16)
+                    ]
+                ),
             ),
+            1,
         )
 
+    sums = F.aggregate(
+        F.col("toks"),
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, t: F.zip_with(acc, contrib(t), lambda a, b: a + b),
+    )
+    sdf = tdf.select("doc_id", sums.alias("sums"))
     sim = None
     for b in range(16):
-        term = F.when(bit_sum(b) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(
+            F.element_at(F.col("sums"), b + 1) >= 0, F.lit(1 << b)
+        ).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return docs.select("doc_id", sim.cast("long").alias("simhash"))
+    return sdf.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def _minhash_sig_col():
+    """8-perm MinHash signature from a MATERIALIZED ``sh`` column: ONE
+    pass over the shingles; per shingle all 8 salted hashes at once,
+    folded with an elementwise running min.  min commutes with the fold,
+    so the result equals the per-perm array_min formulation exactly
+    (shingle arrays are never empty: split('') yields [''], and
+    element_at past the end is NULL which concat_ws skips, so the 2^62
+    seed never survives)."""
+    return F.aggregate(
+        F.col("sh"),
+        F.array_repeat(F.lit(1 << 62).cast("long"), 8),
+        lambda acc, s: F.zip_with(
+            acc,
+            # unrolled, pre-merged literal salts: concat("p:", s) builds
+            # the same md5 input bytes as concat(cast(p), ":", s)
+            F.array(*[_h60(F.concat(F.lit(f"{p}:"), s)) for p in range(8)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
 
 
 def q_minhash_lsh_bands(spark, sf_dir):
@@ -481,16 +541,10 @@ def q_minhash_lsh_bands(spark, sf_dir):
     Docs sharing (band, band_key) are near-dup candidates found by
     equi-join (the only shape that survives 10^10 docs)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = _shingles(F.col("text"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(7)),
-        lambda p: F.array_min(
-            F.transform(
-                sh, lambda s: _h60(F.concat(p.cast("string"), F.lit(":"), s))
-            )
-        ),
-    )
-    banded = docs.select(
+    tdf = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
+    shdf = tdf.select("doc_id", _sh_from_toks().alias("sh"))
+    sigdf = shdf.select("doc_id", _minhash_sig_col().alias("sig"))
+    banded = sigdf.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -498,7 +552,8 @@ def q_minhash_lsh_bands(spark, sf_dir):
                 lambda b: F.md5(
                     F.concat_ws(
                         ":",
-                        F.slice(sig, b * 4 + 1, 4).cast("array<string>"),
+                        F.slice(F.col("sig"), b * 4 + 1, 4)
+                        .cast("array<string>"),
                     )
                 ),
             )
@@ -522,18 +577,10 @@ def q_near_dup_pairs(spark, sf_dir):
     """LSH candidate pairs + exact shingle-Jaccard verify >= 0.5 over a
     corpus with planted near-duplicates."""
     docs = _docs_with_near_dups(spark, sf_dir)
-    sh_col = _shingles(F.col("text"))
-    sh = docs.select("doc_id", sh_col.alias("sh"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(7)),
-        lambda p: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: _h60(F.concat(p.cast("string"), F.lit(":"), s)),
-            )
-        ),
-    )
-    banded = sh.select(
+    tdf = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
+    sh = tdf.select("doc_id", _sh_from_toks().alias("sh"))
+    sigdf = sh.select("doc_id", _minhash_sig_col().alias("sig"))
+    banded = sigdf.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -541,19 +588,33 @@ def q_near_dup_pairs(spark, sf_dir):
                 lambda b: F.md5(
                     F.concat_ws(
                         ":",
-                        F.slice(sig, b * 4 + 1, 4).cast("array<string>"),
+                        F.slice(F.col("sig"), b * 4 + 1, 4)
+                        .cast("array<string>"),
                     )
                 ),
             )
         ).alias("band_key"),
     )
+    # Candidate pairs by GROUPING on band_key instead of a self-join:
+    # the join computed the whole signature pipeline twice (broadcast
+    # build side + stream side, no exchange reuse), i.e. ~2x the query's
+    # dominant cost.  One shuffle of (band_key, doc_id), sorted bucket
+    # members, ordered in-bucket pairs via posexplode (per-row memory
+    # stays O(bucket), the pair count is identical to the join's
+    # output).  Same pair set: (a < b) sharing >= 1 band, then distinct.
+    buckets = banded.groupBy("band_key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
     cand = (
-        banded.alias("l")
-        .join(banded.alias("r"), "band_key")
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        buckets.where(F.size("ids") >= 2)
+        .select("ids", F.posexplode("ids").alias("i", "a"))
         .select(
-            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+            "a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("b"),
         )
+        .where(F.col("a") < F.col("b"))
         .distinct()
     )
     verified = (
@@ -600,26 +661,32 @@ def q_embedding_near_dup(spark, sf_dir):
             ).alias("emb"),
         )
     )
-    dims = F.sequence(F.lit(0), F.lit(63))
-
     def plane_dot(t, p):
-        w = F.transform(
-            dims,
-            lambda d: (
-                F.pmod(
-                    _h60(
-                        F.concat_ws(
-                            ":",
-                            F.lit(str(t)),
-                            F.lit(str(p)),
-                            d.cast("string"),
+        # The hyperplane weights are pure constants — md5 of the literal
+        # "t:p:d" — but Catalyst does not constant-fold through HOF
+        # lambdas, so the inline formulation re-hashed 4*8*64 = 2048
+        # md5+conv PER ROW.  Fold them here in Python (hashlib.md5 of the
+        # same bytes, same % 2001 - 1000 / 1000.0 arithmetic → identical
+        # IEEE doubles → identical bucket bits).
+        import hashlib
+
+        w = F.array(
+            *[
+                F.lit(
+                    (
+                        int(
+                            hashlib.md5(
+                                f"{t}:{p}:{d}".encode()
+                            ).hexdigest()[:15],
+                            16,
                         )
-                    ),
-                    F.lit(2001),
+                        % 2001
+                        - 1000
+                    )
+                    / 1000.0
                 )
-                - 1000
-            )
-            / 1000.0,
+                for d in range(64)
+            ]
         )
         return F.round(
             F.aggregate(
@@ -643,12 +710,21 @@ def q_embedding_near_dup(spark, sf_dir):
             "vec_id", F.lit(t).alias("t"), bucket.cast("long").alias("bucket")
         )
         sigs = bt if sigs is None else sigs.unionByName(bt)
-    a = sigs.select(F.col("vec_id").alias("id_a"), "t", "bucket")
-    b = sigs.select(F.col("vec_id").alias("id_b"), "t", "bucket")
+    # grouped in-bucket pair expansion instead of a self-join (which
+    # would compute every table's bucketing twice) — same pair set
+    buckets = sigs.groupBy("t", "bucket").agg(
+        F.array_sort(F.collect_list("vec_id")).alias("ids")
+    )
     cand = (
-        a.join(b, ["t", "bucket"])
+        buckets.where(F.size("ids") >= 2)
+        .select("ids", F.posexplode("ids").alias("i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
     va = base.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("va"))
@@ -676,9 +752,11 @@ def q_fingerprint(spark, sf_dir):
     """Winnowing-style document fingerprint: 4 smallest shingle hashes
     combined into one md5 (rolling-hash min-sketch)."""
     docs = _t(spark, sf_dir, "documents")
-    hashes = F.array_sort(F.transform(_shingles(F.col("text")), _h60))
+    tdf = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
+    shdf = tdf.select("doc_id", _sh_from_toks().alias("sh"))
+    hashes = F.array_sort(F.transform(F.col("sh"), _h60))
     mins = F.slice(hashes, 1, 4)
-    return docs.select(
+    return shdf.select(
         "doc_id",
         F.md5(F.concat_ws(":", mins.cast("array<string>"))).alias(
             "fingerprint"
@@ -703,20 +781,29 @@ def q_language_id(spark, sf_dir):
     """Language ID by stopword-profile hits; deterministic tie-break by
     profile order en > de > fr > es."""
     docs = _t(spark, sf_dir, "documents")
-    toks = _toks(F.col("text"))
-    scores = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
-        for lang, words in _LANGS.items()
-    }
-    best = F.greatest(*scores.values())
+    # two materialization steps: the split once (not once per language
+    # filter), then the 4 per-language scores once (not once per WHEN arm)
+    tdf = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
+    sdf = tdf.select(
+        "doc_id",
+        F.array(
+            *[
+                F.size(F.filter(F.col("toks"), lambda t: t.isin(*words)))
+                for words in _LANGS.values()
+            ]
+        ).alias("sc"),
+    )
+    sc = {lang: F.element_at(F.col("sc"), i + 1)
+          for i, lang in enumerate(_LANGS)}
+    best = F.greatest(*sc.values())
     lang = (
         F.when(best <= 0, F.lit(None).cast("string"))
-        .when(scores["en"] == best, F.lit("en"))
-        .when(scores["de"] == best, F.lit("de"))
-        .when(scores["fr"] == best, F.lit("fr"))
+        .when(sc["en"] == best, F.lit("en"))
+        .when(sc["de"] == best, F.lit("de"))
+        .when(sc["fr"] == best, F.lit("fr"))
         .otherwise(F.lit("es"))
     )
-    return docs.select(
+    return sdf.select(
         "doc_id", lang.alias("lang_pred"), best.alias("lang_score")
     )
 
@@ -737,8 +824,15 @@ def q_quality_full(spark, sf_dir):
     """Composite quality score: length / stopword / distinct /
     punctuation components (pre-training quality gate)."""
     docs = _t(spark, sf_dir, "documents")
-    text = F.trim(F.col("text"))
-    toks = _toks(text)
+    # materialize the split once (inline, the ~10 references below would
+    # each re-run the regex split per row)
+    tdf = docs.select(
+        "doc_id",
+        F.trim(F.col("text")).alias("text"),
+        _toks(F.trim(F.col("text"))).alias("toks"),
+    )
+    text = F.col("text")
+    toks = F.col("toks")
     n_tok = F.size(toks)
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
@@ -753,7 +847,7 @@ def q_quality_full(spark, sf_dir):
         + F.lit(0.25) * distinct_ratio
         + F.lit(0.25) * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
     )
-    return docs.select(
+    return tdf.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
