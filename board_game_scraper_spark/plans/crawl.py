@@ -223,6 +223,25 @@ class CrawlEngine:
         # optimization: identical rows come back from frontier.read()
         # on resume, and any out-of-band insert invalidates it.
         self._next_frontier: DataFrame | None = None
+        # Round double-buffering (VERDICT r06 next #2): on a provable
+        # retry-only tail, the NEXT round's fused schedule→fetch→parse→
+        # scratch-write job is launched on a background thread while the
+        # current round's stage-B commits and manifest flip run — the
+        # speculative job reads only the committed scratch parquet, the
+        # pages cache and (post-stage-A) side tables, never a table
+        # mid-commit.  Nothing is committed speculatively: the scratch
+        # dir is an invisible orphan until the consuming round's
+        # add_files, so crash/resume semantics are unchanged.  Any
+        # out-of-band frontier insert cancels it (same invalidation
+        # points as _next_frontier).  Only active inside crawl() —
+        # _round_window_end gates the launch so a speculation is never
+        # started for a round the loop won't run.
+        self._spec: dict | None = None
+        self._spec_pool = None
+        self._round_window_end: int | None = None
+        # diagnostics: how many rounds consumed a speculative fused
+        # stage (pinned by tests/test_round7.py)
+        self._spec_hits = 0
 
     # ------------------------------------------------------------------ seed
 
@@ -423,6 +442,7 @@ class CrawlEngine:
         self._frontier_rows = self.frontier_rows() + n
         if n:
             self._next_frontier = None
+            self._cancel_speculation()
         return n
 
     # ------------------------------------------------------- S10 seed requests
@@ -571,6 +591,7 @@ class CrawlEngine:
         self._frontier_rows = self.frontier_rows() + n
         if n:
             self._next_frontier = None
+            self._cancel_speculation()
         return n
 
     # ------------------------------------------------------------- F7 ids_seen
@@ -645,25 +666,15 @@ class CrawlEngine:
 
     # ----------------------------------------------------------------- round
 
-    def run_round(self, round_no: int) -> dict:
-        """One BSP superstep.  Returns the round's metric dict."""
-        import os as _os
-        import sys as _sys
-        import time as _time
-
-        _trace = _os.getenv("SPARK_GRAFT_STAGE_TIMING") == "1"
-        _t0 = [_time.perf_counter()]
-
-        def _mark(label: str) -> None:
-            if _trace:
-                now = _time.perf_counter()
-                print(f"STAGE {label} {now - _t0[0]:.2f}s",
-                      file=_sys.stderr, flush=True)
-                _t0[0] = now
-
-        self._consume_seed_requests(round_no)
-        carried, self._next_frontier = self._next_frontier, None
-        frontier = carried if carried is not None else self.frontier.read()
+    def _fused_stage(self, round_no: int, frontier: DataFrame,
+                     hint: int | None) -> dict:
+        """The round's single heavy Spark job, run to completion:
+        schedule → fetch → parse → scratch write.  Pure compute plus one
+        UNCOMMITTED write into a reserved items data dir — no manifest
+        is touched — so it is safe to run speculatively for round r+1
+        while round r's stage-B commits land (``run_round`` consumes the
+        result either way; an abandoned scratch dir is an invisible
+        orphan)."""
         if self.obey_robots:
             from .robots import filter_allowed
 
@@ -693,7 +704,6 @@ class CrawlEngine:
         # output (parse emits exactly one per scheduled URL, any
         # status) — see the counts note above for why the scheduled
         # frame itself is not observed.
-        hint = self._pending_hint
         scheduled = (
             schedule(
                 frontier, round_no, self.window_sec,
@@ -712,13 +722,12 @@ class CrawlEngine:
 
         # (Caching or multi-pass-writing the deep-nested PARSED shape
         # anti-scales 6x at high parallelism — see schemas.PARSE_FLAT.)
-        import shutil as _shutil
-
         # The fused write lands DIRECTLY in the items table's next data
-        # dir (committed below via add_files once the round is known to
-        # be non-empty) — it is both the round's scratch AND the durable
-        # output, written exactly once, partitioned by item_kind so the
-        # per-kind reads below (and the _KindView API) partition-prune.
+        # dir (committed by run_round via add_files once the round is
+        # known to be non-empty) — it is both the round's scratch AND
+        # the durable output, written exactly once, partitioned by
+        # item_kind so the per-kind reads (and the _KindView API)
+        # partition-prune.
         items_rel, scratch = self.items.new_data_dir()
         if self.native_write:
             # Worker-side pyarrow write: the per-kind counts come back
@@ -735,7 +744,7 @@ class CrawlEngine:
             kc: dict[str, int] = {}
             for r in stat_rows:
                 kc[r["item_kind"]] = kc.get(r["item_kind"], 0) + int(r["n"])
-            parse_counts = kc
+            parse_counts: dict = kc
         else:
             obs_items = Observation()
             kind = lambda k: F.sum(
@@ -773,7 +782,122 @@ class CrawlEngine:
             if self.partition_items:
                 writer = writer.partitionBy("item_kind")
             writer.parquet(str(scratch))
-            parse_counts = obs_items.get
+            parse_counts = dict(obs_items.get)
+        return {
+            "frontier": frontier, "obs_front": obs_front,
+            "scheduled": scheduled, "items_rel": items_rel,
+            "scratch": scratch, "parse_counts": parse_counts,
+        }
+
+    # ------------------------------------------- round double-buffering
+
+    def _launch_speculation(self, next_round: int, fetch_rows: DataFrame,
+                            round_no: int, hint: int) -> None:
+        """Start round ``next_round``'s fused stage on a background
+        thread while the CURRENT round's stage-B commits + manifest flip
+        run.  Launched only from a provable retry-only tail (the next
+        frontier is exactly this round's retry rows, the same expression
+        ``_next_frontier`` carries), only inside a crawl() window that
+        will actually run that round, and never under obey_robots (the
+        robots refresh mutates a table).  The speculative job commits
+        NOTHING — consuming it or discarding it is equally safe."""
+        import os as _os
+
+        if (self._round_window_end is None
+                or next_round >= self._round_window_end
+                or self.obey_robots
+                or _os.getenv("SPARK_GRAFT_NO_DOUBLE_BUFFER") == "1"):
+            return
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        if self._spec_pool is None:
+            self._spec_pool = _TPE(max_workers=1)
+        frontier_expr = retry_rows(fetch_rows, round_no, self.max_attempts)
+
+        def _run() -> dict:
+            self.spark.sparkContext.setJobDescription(
+                f"speculative fused stage round {next_round}")
+            try:
+                return self._fused_stage(next_round, frontier_expr, hint)
+            finally:
+                self.spark.sparkContext.setJobDescription(None)
+
+        self._spec = {"round": next_round,
+                      "future": self._spec_pool.submit(_run)}
+
+    def _take_speculation(self, round_no: int):
+        """Consume a pending speculative fused stage if it targets
+        exactly this round; otherwise discard it.  Any failure falls
+        back to the inline (identical) computation."""
+        spec, self._spec = self._spec, None
+        if spec is None:
+            return None
+        if spec["round"] != round_no:
+            self._discard_spec(spec)
+            return None
+        try:
+            return spec["future"].result()
+        except Exception:
+            return None
+
+    def _discard_spec(self, spec: dict) -> None:
+        import shutil as _shutil
+
+        try:
+            fused = spec["future"].result()
+        except Exception:
+            return
+        for df in (fused["frontier"], fused["scheduled"]):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        _shutil.rmtree(fused["scratch"], ignore_errors=True)
+
+    def _cancel_speculation(self) -> None:
+        """Invalidate any in-flight speculation (out-of-band frontier
+        inserts change what the next round must schedule — the same
+        invalidation points as ``_next_frontier``)."""
+        spec, self._spec = self._spec, None
+        if spec is not None:
+            self._discard_spec(spec)
+
+    def run_round(self, round_no: int) -> dict:
+        """One BSP superstep.  Returns the round's metric dict."""
+        import os as _os
+        import shutil as _shutil
+        import sys as _sys
+        import time as _time
+
+        _trace = _os.getenv("SPARK_GRAFT_STAGE_TIMING") == "1"
+        _t0 = [_time.perf_counter()]
+
+        def _mark(label: str) -> None:
+            if _trace:
+                now = _time.perf_counter()
+                print(f"STAGE {label} {now - _t0[0]:.2f}s",
+                      file=_sys.stderr, flush=True)
+                _t0[0] = now
+
+        self._consume_seed_requests(round_no)
+        fused = self._take_speculation(round_no)
+        if fused is not None:
+            # the speculative job already computed the carried frontier
+            self._next_frontier = None
+            self._spec_hits += 1
+            _mark("speculation_consumed")
+        else:
+            carried, self._next_frontier = self._next_frontier, None
+            frontier_in = (carried if carried is not None
+                           else self.frontier.read())
+            fused = self._fused_stage(round_no, frontier_in,
+                                      self._pending_hint)
+        frontier = fused["frontier"]
+        obs_front = fused["obs_front"]
+        scheduled = fused["scheduled"]
+        items_rel = fused["items_rel"]
+        scratch = fused["scratch"]
+        parse_counts = fused["parse_counts"]
 
         _mark("parse_scratch_write")
         n_scheduled = int(parse_counts.get("fetch") or 0)
@@ -1065,6 +1189,20 @@ class CrawlEngine:
                 prep_ret = dict(empty_prep)
                 retry_stats = {"n": 0, "min_nb": None}
             n_retries = int(retry_stats["n"] or 0)
+            # Round double-buffering (VERDICT r06 next #2): on a
+            # provable retry-only tail the next frontier is EXACTLY this
+            # round's retry rows, so the next round's fused job can
+            # start now — overlapping stage B, the manifest flip and the
+            # compact cadence below.  It reads only the committed
+            # scratch parquet + the pages cache (+ post-stage-A side
+            # tables), never a table mid-commit, and commits nothing.
+            if (n_frontier - n_scheduled == 0 and n_fresh == 0
+                    and n_retries > 0 and self._spec is None):
+                nr = max(int(retry_stats["min_nb"]), round_no + 1)
+                self._launch_speculation(nr, fetch_rows, round_no,
+                                         hint=n_retries)
+                if self._spec is not None:
+                    _mark(f"speculate_launch_r{nr}")
             # Drop prepared-but-empty delta dirs BEFORE the commit: the
             # dirs were never referenced by any manifest, so removing
             # them is safe and quiet rounds add nothing to the read
@@ -1217,14 +1355,27 @@ class CrawlEngine:
         fast-forwards to the earliest eligible round within the window.
         """
         start = (self.last_round() + 1) if start_round is None else start_round
-        out = []
-        r = start
-        while r < start + n_rounds:
-            m = self.run_round(r)
-            out.append(m)
-            # "pending == 0" (from observations) skips the final no-op
-            # round that "done" would otherwise cost.
-            if m.get("done") or m.get("pending") == 0:
-                break
-            r = max(m.get("next_eligible_round") or r + 1, r + 1)
-        return out
+        # a speculation left over from a previous crawl() call is only
+        # valid if it targets exactly the resume round
+        if self._spec is not None and self._spec["round"] != start:
+            self._cancel_speculation()
+        # gate for _launch_speculation: never start a fused job for a
+        # round this window won't run (the background job would race the
+        # caller's teardown)
+        self._round_window_end = start + n_rounds
+        try:
+            out = []
+            r = start
+            while r < start + n_rounds:
+                m = self.run_round(r)
+                out.append(m)
+                # "pending == 0" (from observations) skips the final
+                # no-op round that "done" would otherwise cost.
+                if m.get("done") or m.get("pending") == 0:
+                    break
+                r = max(m.get("next_eligible_round") or r + 1, r + 1)
+            return out
+        finally:
+            self._round_window_end = None
+            if self._spec is not None:
+                self._cancel_speculation()

@@ -265,7 +265,20 @@ def summarize(samples_file: str, mode: str) -> dict | None:
     best = max(paired, key=_pair_norm)
     pair_norms = sorted((round(_pair_norm(r), 2) for r in paired),
                         reverse=True)
+    # Stable secondary statistic (VERDICT r06 next #4): the pooled-min
+    # normalization divides by the max capacity sample ever seen, so
+    # every new rep can only grow the denominator and honest
+    # accumulation reads as regression.  The median of per-rep
+    # normalized ratios over the k best-capacity reps (each rep
+    # normalized by ITS OWN capacity sample) is monotone-stable under
+    # pool growth; pooled-min stays the binding number.
+    k = min(5, len(paired))
+    best_cap = sorted(paired, key=lambda r: r["cap"], reverse=True)[:k]
+    cap_weighted = sorted(round(_pair_norm(r), 2) for r in best_cap)[
+        k // 2] if k else None
     return {
+        "cap_weighted_norm": cap_weighted,
+        "cap_weighted_k": k,
         "best_pair_norm": round(_pair_norm(best), 2),
         "pair_norms": pair_norms,
         "median_pair_norm": pair_norms[len(pair_norms) // 2],
@@ -471,6 +484,15 @@ and are discarded as invalid).
   weather window — pooled mins above may pair numbers from different
   windows): {cl['best_pair']['r8_s']}s → {cl['best_pair']['r32_s']}s at
   capacity {cl['best_pair']['cap']}x = **{cl['best_pair_norm']:.2f} normalized**
+- Stable secondary (median per-rep normalized ratio over the
+  {cl['cap_weighted_k']} best-capacity reps, each normalized by its OWN
+  capacity sample): **{cl['cap_weighted_norm']} normalized** — reported
+  because the pooled-min denominator above only grows as evidence
+  accumulates (a new high capacity sample re-normalizes every older
+  rep), so honest accumulation can read as regression; this companion
+  line is stable under pool growth.  Pooled min-of-N stays binding.
+- Median same-window pair: {cl['median_pair_norm']} (diagnostic; all
+  pairs: {cl['pair_norms']})
 - Wall-clock speedup: {time_ratio:.2f}x
 - Output equality across levels: parsed items {r8['parsed_items']} vs {r32['parsed_items']} ({r8['parsed_items'] == r32['parsed_items']})
 {th_md}
