@@ -520,7 +520,15 @@ cut the fresh-branch job 3.4s→1.7s wall / 78→30 CPU-s at local[32];
 out — it now short-circuits to maybe_seen=true and the single exact
 anti-join does the whole job; (c) retained from round 5: lean tail
 retry rounds (5.4/4.3s → ~3.5s with (a)+(b)), count-gated fresh
-delta, overlapped commit pool.  Same-window profile runs: crawl
+delta, overlapped commit pool.  Round-7 structural work: retry-tail
+ROUND DOUBLE-BUFFERING — on a provable retry-only tail the next
+round's fused schedule→fetch→parse→scratch job launches on a
+background thread while the current round's stage-B commits +
+manifest flip + compact cadence run (STAGE marks show
+speculate_launch before the previous round's frontier_delta;
+metrics/counts-gate identical with and without, pool reset for it —
+plans/crawl.py _fused_stage/_launch_speculation,
+tests/test_round7.py).  Same-window profile runs: crawl
 43.2s → 40.2s at local[32] after (a)+(b).  Earlier findings that
 still hold: worker-side pyarrow write measured SLOWER than the JVM
 writer (kept opt-in); GC exonerated (ParallelGC full-pause < 4s/round
