@@ -50,8 +50,15 @@ MEDIA = StructType(
 )
 
 FEATURE_SCHEMA = (
+    # feature carries float64: the fake-decoder values are exact 4-decimal
+    # rationals (k/10000) which float64 represents exactly but float32
+    # does not — float32 storage made f0=0.0001 stringify as "1e-04" in
+    # pandas-side checkers while the DuckDB oracle's double printed
+    # "0.0001" (one-row hash mismatch at sf0.1, found round 7).  A real
+    # model's embedding dtype is its own business; this schema is the
+    # oracle-checked stand-in's.
     "doc_id string, media_ref string, kind string, "
-    "feature array<float>, feat_dim int"
+    "feature array<double>, feat_dim int"
 )
 
 
@@ -71,7 +78,7 @@ def _fake_decode(payload: bytes | None, ref: str, dim: int = 16) -> np.ndarray:
     h = hashlib.sha256((ref or "").encode() + (payload or b"")).digest()
     raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4],
                         dtype=np.uint32)
-    return (raw % 10_000).astype(np.float32) / 10_000.0
+    return (raw % 10_000).astype(np.float64) / 10_000.0
 
 
 def media_from_documents(documents: DataFrame) -> DataFrame:

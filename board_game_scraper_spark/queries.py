@@ -28,6 +28,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive scan spreading (guide §2.5, "input skew: one huge
+    unsplittable file ... repartition immediately after the read").
+
+    The sandbox testdata tables are single-file single-ROW-GROUP parquet
+    (verified with pyarrow: sf0.1 lineitem = 600k rows in 1 row group),
+    which Spark cannot split — so every operator between such a scan and
+    the first exchange runs as ONE task no matter how many cores the
+    session has.  For compute-dense pipelines (per-row md5/shingle HOFs,
+    embedding dot products, Python parse kernels) that serializes the
+    dominant cost: measured at 10x-sf0.1 stretch scale, the
+    near_dup_pairs signature stage is 19.1 s serial vs 2.3 s after a
+    hash repartition, minhash_band 2.6 s vs 0.4 s.
+
+    Only fires when the scan yields fewer partitions than the session's
+    parallelism — at real scale (many files / row groups) it is the
+    identity and adds NO shuffle.  The explicit numPartitions keeps AQE
+    from coalescing the tiny exchange back to one partition; hashing on
+    the table's unique key avoids round-robin's sort-before-repartition.
+    Row order changes, results do not (every consumer is a key
+    aggregation, equi-join, or row-wise projection; the oracle hash is
+    order-insensitive).  Applied only where per-row compute outweighs
+    one narrow-payload shuffle — NOT to plain scan+partial-agg queries
+    (lineitem_agg, dedup_exact ...), where shuffling full rows out of
+    the same serial scan would cost more than it distributes."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 # ---------------------------------------------------------------------------
 # Merge / dedup family (A1, merge.py:62-67,202-208)
 # ---------------------------------------------------------------------------
@@ -239,7 +270,7 @@ def q_archive_date(spark, sf_dir):
 def q_clean_text(spark, sf_dir):
     """normalize-space cleanup (C7 JVM-side tail + C10 _remove_empty,
     merge.py:81-93): collapse whitespace, NULL when empty."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     cleaned = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     return docs.select(
         "doc_id",
@@ -269,7 +300,7 @@ def q_pagination(spark, sf_dir):
 def q_prefix_count(spark, sf_dir):
     """Adaptive prefix counting (A2, prefixes.py:53-68): counts per
     sanitized 2-char key prefix ([^a-z] → '_', prefixes.py:27-30)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     key = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "_")
     return docs.groupBy(F.substring(key, 1, 2).alias("prefix")).agg(
         F.count(F.lit(1)).alias("n")
@@ -282,7 +313,7 @@ def q_prefix_count(spark, sf_dir):
 
 def q_token_count(spark, sf_dir):
     """Token counting over documents (whitespace tokenizer)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     return docs.select(
         "doc_id",
@@ -293,7 +324,7 @@ def q_token_count(spark, sf_dir):
 
 def q_quality_score(spark, sf_dir):
     """Document quality scoring: stopword ratio + mean token length."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     # materialize the split once — inline, each of the 5 references below
     # would re-run the regex split per row (guide §1.2: per-task work)
@@ -338,7 +369,7 @@ def _sh_from_toks(k: int = 3):
 def q_minhash_band(spark, sf_dir):
     """MinHash near-dup bucketing: 3-word shingles → md5 → min per doc;
     docs sharing a band value are near-dup candidates."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     tdf = docs.select("doc_id", toks.alias("toks"))
     minhash = F.array_min(F.transform(_sh_from_toks(), F.md5))
@@ -478,7 +509,7 @@ def q_simhash(spark, sf_dir):
     ±1 bit contributions are unrolled into an array, and a single
     aggregate() keeps the 16 running sums elementwise.  Same sums in the
     same order as the per-bit formulation → identical fingerprints."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     tdf = docs.select(
         "doc_id", F.array_distinct(_toks(F.col("text"))).alias("toks")
     )
@@ -540,7 +571,7 @@ def q_minhash_lsh_bands(spark, sf_dir):
     """MinHash-LSH banding: 8-perm signature → 2 bands of 4 → band key.
     Docs sharing (band, band_key) are near-dup candidates found by
     equi-join (the only shape that survives 10^10 docs)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     tdf = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
     shdf = tdf.select("doc_id", _sh_from_toks().alias("sh"))
     sigdf = shdf.select("doc_id", _minhash_sig_col().alias("sig"))
@@ -565,7 +596,7 @@ def q_minhash_lsh_bands(spark, sf_dir):
 def _docs_with_near_dups(spark, sf_dir):
     """documents ∪ mutated copies (first token dropped, doc_id+100000) —
     deterministic near-duplicates for pair detection."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
     mutated = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.regexp_replace(F.trim(F.col("text")), r"^\S+\s+", "").alias("text"),
@@ -751,7 +782,7 @@ def q_embedding_near_dup(spark, sf_dir):
 def q_fingerprint(spark, sf_dir):
     """Winnowing-style document fingerprint: 4 smallest shingle hashes
     combined into one md5 (rolling-hash min-sketch)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     tdf = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
     shdf = tdf.select("doc_id", _sh_from_toks().alias("sh"))
     hashes = F.array_sort(F.transform(F.col("sh"), _h60))
@@ -780,7 +811,7 @@ _LANGS = {
 def q_language_id(spark, sf_dir):
     """Language ID by stopword-profile hits; deterministic tie-break by
     profile order en > de > fr > es."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     # two materialization steps: the split once (not once per language
     # filter), then the 4 per-language scores once (not once per WHEN arm)
     tdf = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
@@ -810,7 +841,7 @@ def q_language_id(spark, sf_dir):
 
 def q_bpe_token_count(spark, sf_dir):
     """BPE-ish regex token count (letters / digits / punct runs)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     return docs.select(
         "doc_id",
@@ -823,7 +854,7 @@ def q_bpe_token_count(spark, sf_dir):
 def q_quality_full(spark, sf_dir):
     """Composite quality score: length / stopword / distinct /
     punctuation components (pre-training quality gate)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     # materialize the split once (inline, the ~10 references below would
     # each re-run the regex split per row)
     tdf = docs.select(
@@ -859,7 +890,7 @@ def q_quality_full(spark, sf_dir):
 def q_array_except_stopwords(spark, sf_dir):
     """Per-row set difference (U3, luding.py:91 link-except shape):
     first 5 sorted distinct non-stopword tokens."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     toks = _toks(F.col("text"))
     stops = F.array(*[F.lit(w) for w in _LANGS["en"]])
     kept = F.slice(F.array_sort(F.array_except(toks, stops)), 1, 5)
@@ -924,7 +955,7 @@ def q_rankings_extract(spark, sf_dir):
     oracle recomputes the planted ground truth directly."""
     from .plans.parse import parse_bgg_rankings
 
-    part = _t(spark, sf_dir, "part")
+    part = _par(_t(spark, sf_dir, "part"), "p_partkey")
     pk = F.col("p_partkey")
     rank_s = (pk % 997 + 1).cast("string")
     bayes_s = F.concat(
@@ -974,7 +1005,7 @@ def q_geeklist_extract(spark, sf_dir):
     parsed by the real parser; oracle recomputes ground truth."""
     from .plans.parse import parse_bgg_geeklist
 
-    cust = _t(spark, sf_dir, "customer")
+    cust = _par(_t(spark, sf_dir, "customer"), "c_custkey")
     ck = F.col("c_custkey")
     gid = F.when(ck % 100 == 0, F.lit(197551)).otherwise(ck).cast("string")
     rank_s = (ck % 500 + 1).cast("string")
@@ -1016,7 +1047,7 @@ def q_dbpedia_extract(spark, sf_dir):
     from .plans.parse import parse_dbpedia_game
     from .synth import dbpedia_game_body
 
-    cust = _t(spark, sf_dir, "customer")
+    cust = _par(_t(spark, sf_dir, "customer"), "c_custkey")
     src = cust.select("c_custkey")
 
     def _kernel(batches):
@@ -1150,7 +1181,7 @@ def q_hotness_extract(spark, sf_dir):
     the oracle recomputes the planted ground truth directly."""
     from .plans.parse import parse_hotness
 
-    part = _t(spark, sf_dir, "part")
+    part = _par(_t(spark, sf_dir, "part"), "p_partkey")
     pk = F.col("p_partkey")
     gid_s = (pk + 1).cast("string")
     rank_s = (pk % 50 + 1).cast("string")
@@ -1195,7 +1226,7 @@ def q_media_features(spark, sf_dir):
     (deterministic fake decoder standing in for image codecs)."""
     from .functions.media import extract_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     media = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias(

@@ -123,3 +123,32 @@ def test_compact_resync_mid_crawl_converges(spark, tmp_path):
     # converged: tracked == exact, and the crawl ran to quiescence
     assert eng.frontier_rows() == eng.frontier.read().count()
     assert out, "crawl ran no rounds"
+
+
+# ------------------------------- scan spreading (_par) result identity
+
+def test_par_spreads_unsplittable_scan_and_keeps_results(spark, monkeypatch):
+    """Round-7 _par (guide §2.5 one-huge-unsplittable-file): single-file
+    single-row-group scans are hash-spread to the session's parallelism,
+    results bit-identical with and without, and _par is the identity when
+    the input already has enough partitions (no shuffle added at scale)."""
+    import board_game_scraper_spark.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    docs = q._t(spark, sf, "documents")
+    n = spark.sparkContext.defaultParallelism
+    assert docs.rdd.getNumPartitions() < n  # the premise: unsplittable
+    spread = q._par(docs, "doc_id")
+    assert spread.rdd.getNumPartitions() == n
+    # identity when already parallel enough: no second exchange on top
+    assert q._par(spread, "doc_id") is spread
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    with_par = {name: rows(q.QUERIES[name](spark, sf))
+                for name in ("minhash_band", "near_dup_pairs",
+                             "language_id", "rankings_extract")}
+    monkeypatch.setattr(q, "_par", lambda df, *k: df)
+    for name, expect in with_par.items():
+        assert rows(q.QUERIES[name](spark, sf)) == expect, name
